@@ -1,0 +1,13 @@
+from pdac_pathological_image_segmentation_tpu.models.deeplabv3plus import (  # noqa: F401
+    ASPP,
+    DeepLabV3Plus,
+)
+from pdac_pathological_image_segmentation_tpu.models.fpn import FPN  # noqa: F401
+from pdac_pathological_image_segmentation_tpu.models.pspnet import PSPNet  # noqa: F401
+from pdac_pathological_image_segmentation_tpu.models.registry import (  # noqa: F401
+    build_model,
+)
+from pdac_pathological_image_segmentation_tpu.models.resnet import (  # noqa: F401
+    ResNetEncoder,
+)
+from pdac_pathological_image_segmentation_tpu.models.resunet import ResUNet  # noqa: F401

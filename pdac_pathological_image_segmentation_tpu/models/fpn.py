@@ -1,0 +1,86 @@
+"""FPN segmentation model (capability-equivalent to the reference's
+``smp.FPN(encoder_name=backbone, classes=1, activation=None)`` factory call
+at ``train_worker.py:153-161`` / ``test.py:82-92``).
+
+Architecture (smp-style): ResNet encoder → top-down pyramid with 256-channel
+lateral 1×1 convs and nearest 2× top-down upsampling → per-level segmentation
+blocks (3×3 conv + GroupNorm + ReLU, upsampled to the stride-4 level) →
+sum-merge → dropout(0.2) → 3×3 conv head to ``num_classes`` → 4× bilinear
+upsample.  Output is logits at full resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pdac_pathological_image_segmentation_tpu.models.resnet import ResNetEncoder
+from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
+
+
+def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class _Conv3x3GNReLU(nn.Module):
+    channels: int
+    upsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        if self.upsample:
+            x = _upsample_nearest_2x(x)
+        return x
+
+
+class FPN(nn.Module):
+    num_classes: int = 1
+    output_size: int = 512
+    backbone: str = "resnet18"
+    pyramid_channels: int = 256
+    segmentation_channels: int = 128
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        _, c2, c3, c4, c5 = ResNetEncoder(
+            backbone=self.backbone, dtype=self.dtype, name="encoder"
+        )(x, train=train)
+
+        pc = self.pyramid_channels
+        p5 = nn.Conv(pc, (1, 1), dtype=self.dtype, name="lateral5")(c5)
+        p4 = nn.Conv(pc, (1, 1), dtype=self.dtype, name="lateral4")(c4) + \
+            _upsample_nearest_2x(p5)
+        p3 = nn.Conv(pc, (1, 1), dtype=self.dtype, name="lateral3")(c3) + \
+            _upsample_nearest_2x(p4)
+        p2 = nn.Conv(pc, (1, 1), dtype=self.dtype, name="lateral2")(c2) + \
+            _upsample_nearest_2x(p3)
+
+        # segmentation blocks bring every level to stride 4
+        outs = []
+        for i, (p, n_up) in enumerate(((p5, 3), (p4, 2), (p3, 1), (p2, 0))):
+            y = _Conv3x3GNReLU(self.segmentation_channels, upsample=n_up > 0,
+                               dtype=self.dtype, name=f"seg{i}_0")(p)
+            for j in range(1, n_up):
+                y = _Conv3x3GNReLU(self.segmentation_channels, upsample=True,
+                                   dtype=self.dtype, name=f"seg{i}_{j}")(y)
+            outs.append(y)
+        y = sum(outs)
+
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
+                    name="head")(y)
+        y = resize_bilinear(y.astype(jnp.float32), self.output_size,
+                            self.output_size)
+        return y

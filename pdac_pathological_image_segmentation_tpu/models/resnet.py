@@ -1,0 +1,178 @@
+"""ResNet encoder family (torchvision-topology, NHWC, TPU-native).
+
+The reference pulls ``torchvision.models.resnet18(ImageNet)`` as the encoder
+for all four architectures (reference ``models/resunet.py:12`` and the
+``encoder_name=cfg["backbone"]`` smp factory calls at
+``train_worker.py:149-182``).  This is a from-scratch flax.linen
+re-implementation in channels-last layout with the exact torchvision
+topology (7×7/2 stem, 3×3/2 maxpool, BasicBlock×[2,2,2,2] for resnet18),
+so converted torchvision weights load one-to-one
+(see ``utils/torch_weights.py``).
+
+Feature pyramid contract (matches smp encoder stages):
+``features = [c1, c2, c3, c4, c5]`` at strides ``[2, 4, 8, 16, 32]``
+with channels ``[64, 64, 128, 256, 512]`` for resnet18/34
+(``[64, 256, 512, 1024, 2048]`` for resnet50).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torchvision layer configs
+RESNET_CFGS = {
+    "resnet18": {"block": "basic", "layers": (2, 2, 2, 2)},
+    "resnet34": {"block": "basic", "layers": (3, 4, 6, 3)},
+    "resnet50": {"block": "bottleneck", "layers": (3, 4, 6, 3)},
+}
+
+BN_MOMENTUM = 0.9  # == torch momentum 0.1
+BN_EPS = 1e-5
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3×3 conv(s) → BN → ReLU → 3×3 conv → BN,
+    residual add (1×1 conv+BN projection on downsample), ReLU."""
+
+    channels: int
+    strides: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        residual = x
+        y = nn.Conv(
+            self.channels, (3, 3), strides=(self.strides, self.strides),
+            padding=self.dilation, kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype, name="bn1",
+        )(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.channels, (3, 3), padding=self.dilation,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype, name="bn2",
+        )(y)
+        if residual.shape[-1] != self.channels or self.strides != 1:
+            residual = nn.Conv(
+                self.channels, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(residual)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype, name="downsample_bn",
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (1×1 → 3×3 → 1×1·4) for resnet50+."""
+
+    channels: int
+    strides: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        out_ch = self.channels * 4
+        residual = x
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), strides=(self.strides, self.strides),
+                    padding=self.dilation,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn3")(y)
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            residual = nn.Conv(out_ch, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                    dtype=self.dtype,
+                                    name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet feature extractor (no avgpool/fc head — the reference never
+    uses them, which is why its DDP needs ``find_unused_parameters=True`` at
+    ``train_worker.py:204-206``; we simply don't instantiate them).
+
+    ``output_stride`` ∈ {8, 16, 32}: strides below it become dilations
+    (DeepLabV3+ needs 16).
+    """
+
+    backbone: str = "resnet18"
+    output_stride: int = 32
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def feature_channels(backbone: str) -> List[int]:
+        if RESNET_CFGS[backbone]["block"] == "basic":
+            return [64, 64, 128, 256, 512]
+        return [64, 256, 512, 1024, 2048]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        cfg = RESNET_CFGS[self.backbone]
+        block_cls = BasicBlock if cfg["block"] == "basic" else Bottleneck
+        layers: Sequence[int] = cfg["layers"]
+
+        # stem: 7×7/2 conv, BN, ReLU  (stride 2)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+        c1 = nn.relu(y)
+
+        # 3×3/2 maxpool (stride 4)
+        y = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        features = [c1]
+        base_channels = (64, 128, 256, 512)
+        stage_strides = [1, 2, 2, 2]
+        # convert strides → dilations past the requested output stride
+        current_stride, dilation = 4, 1
+        for stage_idx, (ch, n_blocks, s) in enumerate(
+            zip(base_channels, layers, stage_strides)
+        ):
+            if s == 2:
+                if current_stride >= self.output_stride:
+                    dilation *= 2
+                    s = 1
+                else:
+                    current_stride *= 2
+            for b in range(n_blocks):
+                y = block_cls(
+                    channels=ch,
+                    strides=s if b == 0 else 1,
+                    dilation=dilation,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(y, train=train)
+            features.append(y)
+        return features  # [c1, c2, c3, c4, c5]

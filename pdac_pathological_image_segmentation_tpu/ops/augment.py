@@ -1,0 +1,233 @@
+"""Fused on-device augmentation pipeline.
+
+Replaces the reference's CPU albumentations pipelines
+(reference ``train_main.py:70-88``, ``test.py:62-68``) with jit-compiled
+device-side transforms so the host only ships raw ``uint8`` NHWC patches over
+PCIe and everything else (resize → normalize → color-jitter → OneOf
+{hflip, rot90, vflip}) fuses into the train step.  All randomness comes from
+explicit per-batch PRNG keys split per-sample, replacing the reference's
+global ``seed_everything`` (``train_main.py:34-41``).
+
+Reference pipeline being reproduced:
+
+* train (``train_main.py:70-81``): Resize(img_size) → Normalize(ImageNet) →
+  ColorJitter(brightness=0.3, contrast=0.3, saturation=0.3, hue=0.3, p=0.5) →
+  OneOf([HFlip p=.3, RandomRotate90 p=.3, VFlip p=.3], p=0.3) — with the
+  quirk that ColorJitter runs on *already-normalized* floats (SURVEY.md §5).
+  ``parity_mode=True`` keeps that ordering (jitter after normalize,
+  unclipped); the default applies jitter on [0,1] pixels before normalizing,
+  with torchvision-style clipping.
+* val/test (``train_main.py:82-88``): Resize → Normalize only.
+
+Masks use nearest-neighbor resize (albumentations' mask default) and share
+the geometric transform with their image.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pdac_pathological_image_segmentation_tpu.config import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from pdac_pathological_image_segmentation_tpu.ops.resize import (
+    resize_bilinear,
+    resize_nearest,
+)
+
+_MEAN = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+_STD = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+
+
+def normalize(img: jax.Array) -> jax.Array:
+    """uint8/float [0,255] HWC/NHWC → ImageNet-normalized float32
+    (albumentations ``A.Normalize`` semantics: /255, −mean, /std)."""
+    img = img.astype(jnp.float32) / 255.0
+    return (img - _MEAN) / _STD
+
+
+def denormalize(img: jax.Array) -> jax.Array:
+    """Inverse of :func:`normalize`, in [0,1] (reference ``test.py:128-131``)."""
+    return jnp.clip(img * _STD + _MEAN, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# color jitter (torchvision-style, as wrapped by albumentations ColorJitter)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_grayscale(img: jax.Array) -> jax.Array:
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def _adjust_brightness(img, factor, clip):
+    out = img * factor
+    return jnp.clip(out, 0.0, 1.0) if clip else out
+
+
+def _adjust_contrast(img, factor, clip):
+    mean = jnp.mean(_rgb_to_grayscale(img), axis=(-3, -2), keepdims=True)
+    out = mean + (img - mean) * factor
+    return jnp.clip(out, 0.0, 1.0) if clip else out
+
+
+def _adjust_saturation(img, factor, clip):
+    gray = _rgb_to_grayscale(img)
+    out = gray + (img - gray) * factor
+    return jnp.clip(out, 0.0, 1.0) if clip else out
+
+
+def _adjust_hue(img, delta, clip):
+    """Shift hue by ``delta`` (in turns, torchvision convention [-0.5, 0.5])
+    via the YIQ rotation trick — a 3×3 matmul instead of an HSV round-trip,
+    which keeps the op a fused elementwise+small-matmul on the VPU."""
+    # RGB -> YIQ
+    t_yiq = jnp.asarray(
+        [[0.299, 0.587, 0.114],
+         [0.59590059, -0.27455667, -0.32134392],
+         [0.21153661, -0.52273617, 0.31119955]],
+        dtype=img.dtype,
+    )
+    t_rgb = jnp.linalg.inv(t_yiq.astype(jnp.float32)).astype(img.dtype)
+    yiq = jnp.einsum("...c,kc->...k", img, t_yiq)
+    angle = 2.0 * jnp.pi * delta
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    y = yiq[..., 0:1]
+    i = yiq[..., 1:2] * cos - yiq[..., 2:3] * sin
+    q = yiq[..., 1:2] * sin + yiq[..., 2:3] * cos
+    out = jnp.einsum("...c,kc->...k", jnp.concatenate([y, i, q], axis=-1), t_rgb)
+    return jnp.clip(out, 0.0, 1.0) if clip else out
+
+
+def color_jitter(
+    key: jax.Array,
+    img: jax.Array,
+    brightness: float = 0.3,
+    contrast: float = 0.3,
+    saturation: float = 0.3,
+    hue: float = 0.3,
+    p: float = 0.5,
+    clip: bool = True,
+) -> jax.Array:
+    """Per-image ColorJitter: each of the four adjustments applied in a
+    random order with factors ~ U[1−x, 1+x] (hue ~ U[−h, h]), the whole op
+    applied with probability ``p`` (albumentations default p=0.5,
+    reference ``train_main.py:75``)."""
+    k_apply, k_order, k_b, k_c, k_s, k_h = jax.random.split(key, 6)
+    fb = jax.random.uniform(k_b, (), minval=1.0 - brightness, maxval=1.0 + brightness)
+    fc = jax.random.uniform(k_c, (), minval=1.0 - contrast, maxval=1.0 + contrast)
+    fs = jax.random.uniform(k_s, (), minval=1.0 - saturation, maxval=1.0 + saturation)
+    fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+
+    perm = jax.random.permutation(k_order, 4)
+
+    def apply_op(i, im):
+        idx = perm[i]
+        return jax.lax.switch(
+            idx,
+            [
+                lambda x: _adjust_brightness(x, fb, clip),
+                lambda x: _adjust_contrast(x, fc, clip),
+                lambda x: _adjust_saturation(x, fs, clip),
+                lambda x: _adjust_hue(x, fh, clip),
+            ],
+            im,
+        )
+
+    jittered = jax.lax.fori_loop(0, 4, apply_op, img)
+    return jnp.where(jax.random.uniform(k_apply) < p, jittered, img)
+
+
+# ---------------------------------------------------------------------------
+# geometric OneOf — reference train_main.py:76-80
+# ---------------------------------------------------------------------------
+
+
+def one_of_flip_rot(
+    key: jax.Array, img: jax.Array, mask: jax.Array, p: float = 0.3
+) -> Tuple[jax.Array, jax.Array]:
+    """albumentations ``OneOf([HFlip, RandomRotate90, VFlip], p=0.3)``:
+    with probability ``p`` pick ONE member uniformly (inner p's 0.3/0.3/0.3
+    normalize to ⅓ each) and force-apply it; RandomRotate90 then picks
+    k∈{0,1,2,3} uniformly.  ``img`` is HWC, ``mask`` HW; both get the same
+    transform."""
+    k_apply, k_pick, k_rot = jax.random.split(key, 3)
+    choice = jax.random.randint(k_pick, (), 0, 3)
+    rot_k = jax.random.randint(k_rot, (), 0, 4)
+
+    def hflip(args):
+        im, ms = args
+        return im[:, ::-1, :], ms[:, ::-1]
+
+    def rot90(args):
+        im, ms = args
+        # lax.switch over the 4 static rotations (no dynamic shapes: H==W)
+        return (
+            jax.lax.switch(rot_k, [lambda a: jnp.rot90(a, k) for k in range(4)], im),
+            jax.lax.switch(rot_k, [lambda a: jnp.rot90(a, k) for k in range(4)], ms),
+        )
+
+    def vflip(args):
+        im, ms = args
+        return im[::-1, :, :], ms[::-1, :]
+
+    transformed = jax.lax.switch(choice, [hflip, rot90, vflip], (img, mask))
+    apply = jax.random.uniform(k_apply) < p
+    img_out = jnp.where(apply, transformed[0], img)
+    mask_out = jnp.where(apply, transformed[1], mask)
+    return img_out, mask_out
+
+
+# ---------------------------------------------------------------------------
+# full pipelines (vmapped over the batch inside the train-step jit)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("img_size", "parity_mode"))
+def train_transform(
+    key: jax.Array,
+    images: jax.Array,  # N,H,W,3 uint8
+    masks: jax.Array,  # N,H,W  uint8/int
+    img_size: int,
+    parity_mode: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference train pipeline (``train_main.py:70-81``), fused on device.
+
+    Returns float32 normalized images (N,S,S,3) and float32 binary masks
+    (N,S,S).
+    """
+    images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
+    masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
+
+    keys = jax.random.split(key, images.shape[0] * 2).reshape(images.shape[0], 2, -1)
+
+    if parity_mode:
+        # quirk-compatible: normalize first, jitter the normalized floats,
+        # no clipping (SURVEY.md §5 quirk list / train_main.py:73-75)
+        imgs = normalize(images * 1.0)  # images already 0..255 floats
+        jit_fn = lambda k, im: color_jitter(k, im, clip=False)
+        imgs = jax.vmap(jit_fn)(keys[:, 0], imgs)
+    else:
+        imgs = images / 255.0
+        imgs = jax.vmap(lambda k, im: color_jitter(k, im, clip=True))(keys[:, 0], imgs)
+        imgs = (imgs - _MEAN) / _STD
+
+    imgs, masks = jax.vmap(one_of_flip_rot)(keys[:, 1], imgs, masks)
+    return imgs, masks
+
+
+@functools.partial(jax.jit, static_argnames=("img_size",))
+def eval_transform(
+    images: jax.Array, masks: jax.Array, img_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference val/test pipeline (``train_main.py:82-88``, ``test.py:62-68``):
+    Resize → Normalize only."""
+    images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
+    masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
+    return normalize(images * 1.0), masks
