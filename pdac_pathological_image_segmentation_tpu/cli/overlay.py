@@ -1,0 +1,87 @@
+"""WSI overlay CLI — the runnable replacement for the reference's missing
+``visualize/predict_overlay.ipynb`` (SURVEY.md §3.5).
+
+Consumes the reference's ``visualize_config.yaml`` schema (svs_path /
+tile_path / tsv_path, ``configs/visualize_config.yaml:1-21``): predicts every
+kept PyHIST tile, stitches the probability map on device, and renders a
+red tumor overlay on a low-resolution slide rendering.  The slide thumbnail
+comes from openslide when available (and the path is an ``.svs``), otherwise
+from PIL, otherwise the mask alone is rendered.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from pdac_pathological_image_segmentation_tpu.config import load_config
+from pdac_pathological_image_segmentation_tpu.infer.evaluate import Evaluator
+from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+    PyHISTTileSource,
+    SlidingWindowInference,
+    overlay_figure,
+)
+
+
+def _load_thumbnail(path: str, max_dim: int = 2048) -> np.ndarray | None:
+    try:
+        if path.lower().endswith((".svs", ".tif", ".tiff", ".ndpi")):
+            import openslide  # optional C dependency
+
+            slide = openslide.OpenSlide(path)
+            thumb = slide.get_thumbnail((max_dim, max_dim))
+            return np.asarray(thumb.convert("RGB"), dtype=np.uint8)
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        img.thumbnail((max_dim, max_dim))
+        return np.asarray(img, dtype=np.uint8)
+    except Exception as e:  # pragma: no cover - depends on host libs
+        print(f"warning: could not load slide thumbnail ({e}); "
+              "rendering mask only")
+        return None
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(description="pathology_project overlay")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--save_path", required=True)
+    parser.add_argument("--pth_path", required=True)
+    parser.add_argument("--tta", action="store_true",
+                        help="dihedral-8 test-time augmentation")
+    parser.add_argument("--blend", default="uniform",
+                        choices=("uniform", "hann", "pyramid"),
+                        help="overlap blend window (PyHIST tiles don't "
+                        "overlap → uniform reproduces the reference paste)")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    os.makedirs(args.save_path, exist_ok=True)
+
+    evaluator = Evaluator(cfg, args.pth_path)
+    source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path, tile=cfg.img_size)
+    runner = SlidingWindowInference(
+        evaluator.model, evaluator.state, tile=cfg.img_size,
+        batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
+        num_workers=cfg.num_worker,
+    )
+    prob, mask = runner.run(source)
+
+    np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
+    thumb = _load_thumbnail(cfg.svs_path) if cfg.svs_path else None
+    if thumb is None:
+        thumb = np.full((*[min(s, 2048) for s in mask.shape], 3), 255, np.uint8)
+    out = overlay_figure(
+        thumb, mask, os.path.join(args.save_path, "overlay.png")
+    )
+    tumor_frac = float(mask.mean())
+    print(f"overlay written to {out} (tumor fraction {tumor_frac:.4f}, "
+          f"{len(source)} tiles)")
+    return {"overlay": out, "tumor_fraction": tumor_frac, "n_tiles": len(source)}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Evaluation CLI — same interface as the reference's ``test.py:22-26``:
+``--config <yaml> --save_path <dir> --pth_path <checkpoint>``.
+Emits mean Test Score / Test Loss and per-sample triptych figures into
+``<save_path>/figure`` (reference ``test.py:34-35,152-178``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pdac_pathological_image_segmentation_tpu.config import load_config
+from pdac_pathological_image_segmentation_tpu.data.discovery import discover_split
+from pdac_pathological_image_segmentation_tpu.data.loader import PatchDataset
+from pdac_pathological_image_segmentation_tpu.infer.evaluate import Evaluator
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(description="pathology_project")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--save_path", required=True)
+    parser.add_argument("--pth_path", required=True)
+    parser.add_argument("--max_figures", type=int, default=None,
+                        help="cap figure output (reference renders all)")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    test_imgs, test_masks = discover_split(cfg.test_path)
+    test_set = PatchDataset(test_imgs, test_masks, cfg)
+
+    evaluator = Evaluator(cfg, args.pth_path)
+    figure_path = os.path.join(args.save_path, "figure")
+    return evaluator.run(test_set, figure_path=figure_path,
+                         max_figures=args.max_figures)
+
+
+if __name__ == "__main__":
+    main()

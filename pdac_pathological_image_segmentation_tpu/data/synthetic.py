@@ -1,0 +1,57 @@
+"""Synthetic patch dataset generator for tests and benchmarks.
+
+Creates H&E-ish PNG patches with known circular/rectangular tumor masks in the
+reference's filesystem contract (``<name>.png`` + ``<name>-labelled.png``,
+see ``data/discovery.py``).  The reference has no test fixtures at all
+(SURVEY.md §4); this is the fixture generator our test suite builds on.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def _he_texture(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Cheap hematoxylin/eosin-looking background: pink base + purple blobs."""
+    base = np.array([230, 180, 200], dtype=np.float32)  # eosin pink
+    img = base + rng.normal(0, 12, size=(size, size, 3)).astype(np.float32)
+    return img
+
+
+def generate_synthetic_patches(
+    out_dir: str,
+    n: int = 16,
+    size: int = 512,
+    seed: int = 0,
+    tumor_fraction: float = 0.8,
+) -> Tuple[int, int]:
+    """Write ``n`` image/mask PNG pairs into ``out_dir``.
+
+    Each tumor patch gets a random filled circle labeled 1 and tinted purple
+    (so intensity correlates with the label — learnable).  Returns
+    (n_images, n_masks).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img = _he_texture(rng, size)
+        mask = np.zeros((size, size), dtype=np.uint8)
+        if rng.random() < tumor_fraction:
+            cy, cx = rng.integers(size // 4, 3 * size // 4, size=2)
+            r = int(rng.integers(size // 8, size // 3))
+            yy, xx = np.ogrid[:size, :size]
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            mask[blob] = 1
+            # tumor region tinted toward hematoxylin purple
+            img[blob] = img[blob] * 0.5 + np.array([120, 60, 160], np.float32) * 0.5
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(out_dir, f"patch_{i:04d}.png"))
+        # mask stored as 0/1 labels like the QuPath LabeledImageServer export
+        Image.fromarray(mask).save(
+            os.path.join(out_dir, f"patch_{i:04d}-labelled.png")
+        )
+    return n, n

@@ -1,0 +1,137 @@
+"""Per-patch test/eval harness (the reference's ``test.py:137-191``).
+
+Batched no-grad inference over the test split → mean Dice score + Dice loss
+(per-batch meter average, n=1 per batch, exactly like the reference's
+``AverageMeter`` usage at ``test.py:149-150``) → optional per-sample
+original/label/prediction triptych figures.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdac_pathological_image_segmentation_tpu.config import Config
+from pdac_pathological_image_segmentation_tpu.data.loader import (
+    PatchDataset,
+    PatchLoader,
+)
+from pdac_pathological_image_segmentation_tpu.infer.figures import save_triptych
+from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+from pdac_pathological_image_segmentation_tpu.ops.augment import (
+    denormalize,
+    eval_transform,
+)
+from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+)
+from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
+    restore_checkpoint,
+)
+from pdac_pathological_image_segmentation_tpu.train.loop import (
+    _masked_dice_metrics,
+)
+from pdac_pathological_image_segmentation_tpu.train.state import (
+    create_train_state,
+)
+from pdac_pathological_image_segmentation_tpu.utils.meters import AverageMeter
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        pth_path: str,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        """``pth_path``: an Orbax checkpoint directory (``.../pth/latest`` or
+        ``.../pth/best``) or a ``.../pth`` directory (defaults to ``best``
+        then ``latest``)."""
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh(cfg.num_devices)
+        self.data_sharding = batch_sharding(self.mesh)
+        self.model = build_model(cfg)
+        state = create_train_state(cfg, self.model, jax.random.PRNGKey(cfg.seed))
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+
+        if os.path.isdir(os.path.join(pth_path, "best")):
+            restored = restore_checkpoint(pth_path, state, name="best")
+        elif os.path.isdir(os.path.join(pth_path, "latest")):
+            restored = restore_checkpoint(pth_path, state, name="latest")
+        else:
+            parent, name = os.path.split(os.path.normpath(pth_path))
+            restored = restore_checkpoint(parent, state, name=name)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint found at {pth_path}")
+        self.state, self.meta = restored
+
+        img_size = cfg.img_size
+        model = self.model
+
+        @jax.jit
+        def step(state, image, mask, valid):
+            imgs, msks = eval_transform(image, mask, img_size=img_size)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imgs, train=False,
+            )
+            logits = out[..., 0]
+            loss, score = _masked_dice_metrics(logits, msks, valid)
+            preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) >= 0.5).astype(
+                jnp.float32
+            )
+            originals = denormalize(imgs)
+            return loss, score, preds, msks, originals
+
+        self._step = step
+
+    def run(
+        self,
+        test_set: PatchDataset,
+        figure_path: Optional[str] = None,
+        max_figures: Optional[int] = None,
+    ) -> dict:
+        cfg = self.cfg
+        loader = PatchLoader(
+            test_set, cfg.batch_size, shuffle=False,
+            num_workers=cfg.num_worker, drop_last=False,
+            sharding=self.data_sharding,
+        )
+        if figure_path:
+            os.makedirs(figure_path, exist_ok=True)
+        loss_meter, score_meter = AverageMeter(), AverageMeter()
+        count = 0
+        for batch in loader.epoch(0):
+            loss, score, preds, msks, originals = self._step(
+                self.state, batch.image, batch.mask, batch.valid
+            )
+            # reference updates meters once per batch (test.py:149-150)
+            loss_meter.update(float(loss))
+            score_meter.update(float(score))
+            if figure_path:
+                preds_h = np.asarray(jax.device_get(preds))
+                msks_h = np.asarray(jax.device_get(msks))
+                orig_h = np.asarray(jax.device_get(originals))
+                valid_h = np.asarray(jax.device_get(batch.valid))
+                for i in range(len(valid_h)):
+                    if not valid_h[i]:
+                        continue
+                    if max_figures is not None and count >= max_figures:
+                        break
+                    count += 1
+                    save_triptych(
+                        figure_path, count, orig_h[i], msks_h[i], preds_h[i]
+                    )
+        result = {
+            "test_score": score_meter.avg,
+            "test_loss": loss_meter.avg,
+            "n_figures": count,
+        }
+        print(f"Test Score: {result['test_score']} Test Loss: {result['test_loss']}")
+        return result

@@ -1,0 +1,222 @@
+"""Full-slide sliding-window inference with on-device stitching and TTA.
+
+Supersedes the reference's missing ``visualize/predict_overlay.ipynb``
+(capability inferred in SURVEY.md §3.5 from
+``configs/visualize_config.yaml:3-9`` + ``README.md:26-35``): the reference
+predicts PyHIST tiles one at a time (batch_size 1) and pastes binary masks on
+host.  Here:
+
+* tiles stream through the fused tile→mask step in large batches;
+* optional test-time augmentation averages sigmoid probabilities over the
+  8 dihedral transforms (flips × rot90), inverted on device;
+* probability tiles are overlap-blended into the slide canvas on device
+  (``ops/stitch.py``) — no host round-trips until the final mask fetch;
+* slides larger than HBM stream through in tile chunks (the canvases are
+  the only O(slide) device buffers, donated between chunks).
+
+Two tile sources:
+* :class:`GridTiler` — tile a full-resolution image array with overlap
+  (stride ≤ tile), the QuPath/PyHIST tiler equivalent for in-memory slides;
+* :class:`PyHISTTileSource` — the reference's visualization contract: a
+  directory of tile PNGs + ``tile_selection.tsv`` grid coordinates.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from pdac_pathological_image_segmentation_tpu.ops.stitch import (
+    finalize_canvas,
+    stitch_tiles,
+    stitch_tiles_into,
+)
+
+
+# ---------------------------------------------------------------------------
+# tile sources
+# ---------------------------------------------------------------------------
+
+
+class GridTiler:
+    """Sliding-window tiler over an in-memory H×W×3 uint8 slide."""
+
+    def __init__(self, slide: np.ndarray, tile: int = 512,
+                 stride: Optional[int] = None) -> None:
+        assert slide.ndim == 3 and slide.shape[2] == 3
+        self.slide = slide
+        self.tile = tile
+        self.stride = stride or tile
+        h, w = slide.shape[:2]
+        ys = list(range(0, max(h - tile, 0) + 1, self.stride))
+        xs = list(range(0, max(w - tile, 0) + 1, self.stride))
+        # make sure the right/bottom edges are covered
+        if ys[-1] != h - tile and h > tile:
+            ys.append(h - tile)
+        if xs[-1] != w - tile and w > tile:
+            xs.append(w - tile)
+        self.coords = [(y, x) for y in ys for x in xs]
+        self.canvas_hw = (h, w)
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    def get(self, i: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+        y, x = self.coords[i]
+        return self.slide[y:y + self.tile, x:x + self.tile], (y, x)
+
+
+class PyHISTTileSource:
+    """The reference's visualization inputs: tile PNGs + a PyHIST
+    ``tile_selection.tsv`` with grid coordinates (columns ``Tile``,
+    ``Row``, ``Column``, ``Keep``; reference
+    ``configs/visualize_config.yaml:6-9``)."""
+
+    def __init__(self, tile_dir: str, tsv_path: str, tile: int = 512,
+                 keep_only: bool = True) -> None:
+        self.tile_dir = tile_dir
+        self.tile = tile
+        self.entries: List[Tuple[str, int, int]] = []
+        max_row = max_col = 0
+        with open(tsv_path, "r") as f:
+            reader = csv.DictReader(f, delimiter="\t")
+            for row in reader:
+                keep = str(row.get("Keep", "1")).strip()
+                if keep_only and keep not in ("1", "True", "true"):
+                    continue
+                name = row["Tile"]
+                r, c = int(row["Row"]), int(row["Column"])
+                max_row, max_col = max(max_row, r), max(max_col, c)
+                self.entries.append((name, r, c))
+        self.canvas_hw = ((max_row + 1) * tile, (max_col + 1) * tile)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def get(self, i: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+        name, r, c = self.entries[i]
+        path = os.path.join(self.tile_dir, name)
+        if not os.path.exists(path) and not name.endswith(".png"):
+            path = path + ".png"
+        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+        return img, (r * self.tile, c * self.tile)
+
+
+# ---------------------------------------------------------------------------
+# TTA
+# ---------------------------------------------------------------------------
+
+
+def _make_tta_infer(infer_step, tta: bool):
+    """Wrap a tile→prob step with dihedral-8 TTA, averaged on device."""
+    if not tta:
+        return infer_step
+
+    def step(state, images):
+        total = None
+        for flip in (False, True):
+            imgs = images[:, :, ::-1, :] if flip else images
+            for k in range(4):
+                rot = jnp.rot90(imgs, k, axes=(1, 2))
+                p = infer_step(state, rot)
+                # invert: rot90 by -k, then unflip
+                p = jnp.rot90(p, -k, axes=(1, 2))
+                if flip:
+                    p = p[:, :, ::-1]
+                total = p if total is None else total + p
+        return total / 8.0
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window runner
+# ---------------------------------------------------------------------------
+
+
+class SlidingWindowInference:
+    """Stream tiles → fused tile→mask step (+TTA) → on-device overlap-blend
+    canvas → (probability map, binary mask)."""
+
+    def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
+                 tta: bool = False, blend: str = "hann",
+                 num_workers: int = 8) -> None:
+        from pdac_pathological_image_segmentation_tpu.train.steps import (
+            make_infer_step,
+        )
+
+        self.state = state
+        self.tile = tile
+        self.batch_size = batch_size
+        self.blend = blend
+        self._infer = _make_tta_infer(make_infer_step(model, tile), tta)
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def _batches(self, source) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(source)
+        for start in range(0, n, self.batch_size):
+            idxs = list(range(start, min(start + self.batch_size, n)))
+            pairs = list(self._pool.map(source.get, idxs))
+            images = np.stack([p[0] for p in pairs])
+            coords = np.asarray([p[1] for p in pairs], dtype=np.int32)
+            # the final partial chunk compiles once for its own shape
+            yield images, coords
+
+    def run(self, source) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns host (prob_map, binary_mask), each canvas_hw."""
+        accum = weight = None
+        for images, coords in self._batches(source):
+            probs = self._infer(self.state, jnp.asarray(images))
+            coords_d = jnp.asarray(coords)
+            if accum is None:
+                accum, weight = stitch_tiles(
+                    probs, coords_d, canvas_hw=tuple(source.canvas_hw),
+                    blend=self.blend,
+                )
+            else:
+                accum, weight = stitch_tiles_into(
+                    accum, weight, probs, coords_d, blend=self.blend
+                )
+        if accum is None:
+            raise ValueError("tile source is empty")
+        prob, mask = finalize_canvas(accum, weight)
+        return np.asarray(jax.device_get(prob)), np.asarray(jax.device_get(mask))
+
+
+def overlay_figure(
+    slide_thumb: np.ndarray,  # h,w,3 uint8 low-res rendering
+    mask: np.ndarray,  # H,W binary at full tile grid resolution
+    out_path: str,
+    alpha: float = 0.4,
+) -> str:
+    """Reference README's overlay visualization: binary prediction pasted
+    over a low-resolution slide rendering (``README.md:26-35``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    th, tw = slide_thumb.shape[:2]
+    # nearest-resize the mask to the thumbnail grid on host (tiny)
+    ys = (np.arange(th) * (mask.shape[0] / th)).astype(np.int64).clip(0, mask.shape[0] - 1)
+    xs = (np.arange(tw) * (mask.shape[1] / tw)).astype(np.int64).clip(0, mask.shape[1] - 1)
+    small = mask[np.ix_(ys, xs)]
+
+    fig, ax = plt.subplots(figsize=(10, 10 * th / max(tw, 1)))
+    ax.imshow(slide_thumb)
+    overlay = np.zeros((th, tw, 4), dtype=np.float32)
+    overlay[..., 0] = 1.0  # red tumor highlight
+    overlay[..., 3] = small * alpha
+    ax.imshow(overlay)
+    ax.set_xticks([]), ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return out_path

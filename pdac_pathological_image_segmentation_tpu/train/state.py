@@ -1,0 +1,77 @@
+"""TrainState: the functional core of the training runtime.
+
+A pure pytree holding params, BatchNorm running stats, and Adam state,
+replicated over the data mesh; one ``TrainState`` replaces the reference's
+``model.state_dict()`` + ``optimizer.state_dict()`` pair
+(``train_worker.py:116-120``).  The learning rate lives inside
+``optax.inject_hyperparams`` so the plateau scheduler can change it between
+epochs without recompiling the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pdac_pathological_image_segmentation_tpu.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @property
+    def lr(self) -> jax.Array:
+        return self.opt_state.hyperparams["learning_rate"]
+
+    def with_lr(self, lr: float) -> "TrainState":
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
+
+    def apply_gradients(self, grads: Any) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8) — reference
+    ``Adam(params, lr=cfg["lr"])`` at ``train_worker.py:184``."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
+    )
+
+
+def create_train_state(
+    cfg: Config,
+    model: nn.Module,
+    rng: jax.Array,
+    input_shape: Optional[tuple] = None,
+) -> TrainState:
+    if input_shape is None:
+        input_shape = (1, cfg.img_size, cfg.img_size, 3)
+    variables = model.init(
+        {"params": rng}, jnp.zeros(input_shape, jnp.float32), train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg.lr)
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        tx=tx,
+    )

@@ -8,7 +8,9 @@ are tested without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the session environment points at a TPU backend
+# (JAX_PLATFORMS=axon): sharding tests need 8 devices, the chip has 1.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The session sitecustomize prepends the 'axon' TPU platform to JAX_PLATFORMS
+# regardless of the env var, so override via config after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: repeated suite runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/pdac_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

@@ -1,0 +1,167 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from pdac_pathological_image_segmentation_tpu.config import Config
+from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+from pdac_pathological_image_segmentation_tpu.ops.stitch import (
+    blend_window,
+    finalize_canvas,
+    stitch_tiles,
+    stitch_tiles_into,
+)
+from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+    GridTiler,
+    PyHISTTileSource,
+    SlidingWindowInference,
+    overlay_figure,
+)
+from pdac_pathological_image_segmentation_tpu.train.state import (
+    create_train_state,
+)
+
+TILE = 32
+
+
+def test_stitch_nonoverlapping_uniform_reproduces_paste():
+    # stride == tile, uniform blend → exact tile paste (reference behavior)
+    rng = np.random.default_rng(0)
+    probs = jnp.asarray(rng.random((4, TILE, TILE)), jnp.float32)
+    coords = jnp.asarray(
+        [[0, 0], [0, TILE], [TILE, 0], [TILE, TILE]], jnp.int32
+    )
+    accum, weight = stitch_tiles(probs, coords, canvas_hw=(64, 64),
+                                 blend="uniform")
+    prob, mask = finalize_canvas(accum, weight)
+    out = np.asarray(prob)
+    np.testing.assert_allclose(out[:TILE, :TILE], np.asarray(probs[0]), rtol=1e-6)
+    np.testing.assert_allclose(out[TILE:, TILE:], np.asarray(probs[3]), rtol=1e-6)
+
+
+def test_stitch_overlap_blends_to_constant():
+    # constant-probability tiles overlapping anywhere must blend back to the
+    # same constant (partition-of-unity check for every blend mode)
+    for blend in ("uniform", "hann", "pyramid"):
+        probs = jnp.full((3, TILE, TILE), 0.7, jnp.float32)
+        coords = jnp.asarray([[0, 0], [0, 16], [0, 32]], jnp.int32)
+        accum, weight = stitch_tiles(probs, coords, canvas_hw=(TILE, 64),
+                                     blend=blend)
+        prob, _ = finalize_canvas(accum, weight)
+        covered = np.asarray(weight) > 0
+        np.testing.assert_allclose(
+            np.asarray(prob)[covered], 0.7, rtol=1e-5,
+            err_msg=f"blend={blend}",
+        )
+
+
+def test_stitch_chunked_streaming_matches_single_shot():
+    rng = np.random.default_rng(1)
+    probs = jnp.asarray(rng.random((6, TILE, TILE)), jnp.float32)
+    coords = jnp.asarray([[0, 16 * i] for i in range(6)], jnp.int32)
+    a1, w1 = stitch_tiles(probs, coords, canvas_hw=(TILE, 16 * 5 + TILE),
+                          blend="hann")
+    a2, w2 = stitch_tiles(probs[:3], coords[:3],
+                          canvas_hw=(TILE, 16 * 5 + TILE), blend="hann")
+    a2, w2 = stitch_tiles_into(a2, w2, probs[3:], coords[3:], blend="hann")
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5)
+
+
+def test_blend_window_positive():
+    for mode in ("uniform", "hann", "pyramid"):
+        w = np.asarray(blend_window(64, mode))
+        assert (w > 0).all() and w.shape == (64, 64)
+
+
+def test_grid_tiler_covers_edges():
+    slide = np.zeros((100, 70, 3), np.uint8)
+    t = GridTiler(slide, tile=TILE, stride=TILE)
+    ys = {c[0] for c in t.coords}
+    xs = {c[1] for c in t.coords}
+    assert max(ys) + TILE == 100 and max(xs) + TILE == 70
+    img, (y, x) = t.get(0)
+    assert img.shape == (TILE, TILE, 3) and (y, x) == (0, 0)
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    cfg = Config(model="unet", img_size=TILE, compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    return model, state
+
+
+def test_sliding_window_end_to_end(model_and_state):
+    model, state = model_and_state
+    rng = np.random.default_rng(0)
+    slide = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)  # 2× overlap
+    runner = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                    blend="hann", num_workers=2)
+    prob, mask = runner.run(tiler)
+    assert prob.shape == (96, 96) and mask.shape == (96, 96)
+    assert prob.min() >= 0.0 and prob.max() <= 1.0
+    assert set(np.unique(mask)).issubset({0, 1})
+
+
+def test_tta_matches_manual_dihedral_average(model_and_state):
+    """TTA output == mean over the 8 dihedral transforms of
+    inverse-transform(model(transform(x))), computed manually on host."""
+    model, state = model_and_state
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (2, TILE, TILE, 3), dtype=np.uint8)
+    plain = SlidingWindowInference(model, state, tile=TILE, tta=False)
+    tta = SlidingWindowInference(model, state, tile=TILE, tta=True)
+
+    expected = np.zeros((2, TILE, TILE), np.float32)
+    for flip in (False, True):
+        base = img[:, :, ::-1, :] if flip else img
+        for k in range(4):
+            rot = np.rot90(base, k, axes=(1, 2))
+            p = np.asarray(plain._infer(state, jnp.asarray(rot.copy())))
+            p = np.rot90(p, -k, axes=(1, 2))
+            if flip:
+                p = p[:, :, ::-1]
+            expected += p
+    expected /= 8.0
+
+    p_tta = np.asarray(tta._infer(state, jnp.asarray(img)))
+    np.testing.assert_allclose(p_tta, expected, atol=1e-5)
+
+
+def test_pyhist_source_and_overlay(tmp_path, model_and_state):
+    model, state = model_and_state
+    rng = np.random.default_rng(0)
+    tile_dir = tmp_path / "tiles"
+    tile_dir.mkdir()
+    rows = []
+    for r in range(2):
+        for c in range(3):
+            name = f"tile_{r}_{c}.png"
+            arr = rng.integers(0, 256, (TILE, TILE, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tile_dir / name)
+            keep = 0 if (r, c) == (1, 2) else 1
+            rows.append((name, r, c, keep))
+    tsv = tmp_path / "tile_selection.tsv"
+    with open(tsv, "w") as f:
+        f.write("Tile\tRow\tColumn\tKeep\n")
+        for row in rows:
+            f.write("\t".join(str(v) for v in row) + "\n")
+
+    source = PyHISTTileSource(str(tile_dir), str(tsv), tile=TILE)
+    assert len(source) == 5  # Keep=0 tile dropped
+    assert source.canvas_hw == (64, 96)
+
+    runner = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                    blend="uniform", num_workers=2)
+    prob, mask = runner.run(source)
+    # the dropped tile's region is uncovered → probability 0
+    assert prob[TILE:, 2 * TILE:].max() == 0.0
+
+    thumb = np.full((48, 72, 3), 255, np.uint8)
+    out = overlay_figure(thumb, mask, str(tmp_path / "overlay.png"))
+    assert os.path.exists(out)
