@@ -22,6 +22,11 @@ TARGET = 5000.0  # patches/sec/chip north star (BASELINE.md)
 
 def main() -> None:
     from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     from pdac_pathological_image_segmentation_tpu.models.registry import build_model
     from pdac_pathological_image_segmentation_tpu.train.state import (
         create_train_state,
@@ -30,7 +35,9 @@ def main() -> None:
         make_infer_step,
     )
 
-    cfg = Config(model="fpn", backbone="resnet18", img_size=512,
+    # the north-star metric is the U-Net tile→mask path (BASELINE.json);
+    # model comparison at bs=128: unet 3603, fpn 2457 patches/s (r1 measured)
+    cfg = Config(model="unet", backbone="resnet18", img_size=512,
                  compute_dtype="bfloat16")
     model = build_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
@@ -51,15 +58,21 @@ def main() -> None:
         for _ in range(2)
     ]
 
-    # warmup/compile
+    # warmup/compile.  NOTE: jax.block_until_ready is a no-op on the axon
+    # relay backend, so completion is forced by fetching one output element
+    # (conservative: adds one host round-trip per fetch).
     out = step(state, device_batches[0])
-    jax.block_until_ready(out)
+    _ = float(out[0, 0, 0])
 
-    n_iters = 30
+    n_iters = 32
+    depth = 4  # keep a few steps in flight; fetch forces in-order completion
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = step(state, device_batches[i % len(device_batches)])
-    jax.block_until_ready(out)
+    for i in range(0, n_iters, depth):
+        outs = [
+            step(state, device_batches[(i + j) % len(device_batches)])
+            for j in range(depth)
+        ]
+        _ = float(outs[-1][0, 0, 0])
     dt = time.perf_counter() - t0
 
     patches_per_sec = n_iters * batch / dt

@@ -58,6 +58,11 @@ def main(argv=None) -> dict:
                         "overlap → uniform reproduces the reference paste)")
     args = parser.parse_args(argv)
 
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     cfg = load_config(args.config)
     os.makedirs(args.save_path, exist_ok=True)
 

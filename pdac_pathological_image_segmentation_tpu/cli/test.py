@@ -23,6 +23,11 @@ def main(argv=None) -> dict:
                         help="cap figure output (reference renders all)")
     args = parser.parse_args(argv)
 
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     cfg = load_config(args.config)
     test_imgs, test_masks = discover_split(cfg.test_path)
     test_set = PatchDataset(test_imgs, test_masks, cfg)

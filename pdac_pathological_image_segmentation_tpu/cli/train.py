@@ -26,6 +26,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--save_path", required=True)
     args = parser.parse_args(argv)
 
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     initialize_distributed()
     cfg = load_config(args.config)
 

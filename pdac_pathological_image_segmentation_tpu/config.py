@@ -15,7 +15,7 @@ from typing import Any, Mapping, Optional, Sequence, Tuple
 
 import yaml
 
-VALID_MODELS = ("unet", "fpn", "deeplabv3+", "pspnet")
+VALID_MODELS = ("unet", "fpn", "deeplabv3+", "pspnet", "unet++")
 
 # ImageNet normalization constants used everywhere in the reference
 # (train_main.py:73,85, test.py:65,128).

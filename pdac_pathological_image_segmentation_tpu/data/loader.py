@@ -129,6 +129,20 @@ class PatchLoader:
         self.host_batch = batch_size // self.process_count
         self.num_workers = max(1, num_workers // self.process_count)
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # native fast path: enabled when the C++ decoder is present and the
+        # first image/mask pair agrees on dimensions (per-image failures
+        # still fall back inside decode_batch)
+        self._native_hw = None
+        if len(dataset):
+            from pdac_pathological_image_segmentation_tpu.data import (
+                native_loader,
+            )
+
+            if native_loader.native_available():
+                hw_img = native_loader.png_info(str(dataset.img_paths[0]))
+                hw_mask = native_loader.png_info(str(dataset.mask_paths[0]))
+                if hw_img is not None and hw_img == hw_mask:
+                    self._native_hw = hw_img
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -136,6 +150,33 @@ class PatchLoader:
         if self.drop_last:
             return per_host // self.host_batch
         return -(-per_host // self.host_batch)
+
+    def _decode_chunk(self, chunk: np.ndarray):
+        """Decode one batch worth of image/mask pairs.
+
+        Fast path: the native C++ thread-pool PNG decoder
+        (``data/native_loader.py``) filling NHWC uint8 buffers directly;
+        falls back to per-pair PIL via the dataset on any failure."""
+        img_paths = [str(self.dataset.img_paths[i]) for i in chunk]
+        mask_paths = [str(self.dataset.mask_paths[i]) for i in chunk]
+        if self._native_hw is not None:
+            try:
+                from pdac_pathological_image_segmentation_tpu.data import (
+                    native_loader,
+                )
+
+                h, w = self._native_hw
+                images = native_loader.decode_batch(
+                    img_paths, h, w, 3, threads=self.num_workers
+                )
+                masks = native_loader.decode_batch(
+                    mask_paths, h, w, 1, threads=self.num_workers
+                )[..., 0]
+                return images, masks
+            except Exception:
+                self._native_hw = None  # permanent fallback for this loader
+        pairs = list(self._pool.map(self.dataset.__getitem__, chunk))
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
 
     def _host_batches(self, epoch: int) -> Iterator[Batch]:
         idxs = _epoch_indices(
@@ -150,9 +191,7 @@ class PatchLoader:
                 pad = self.host_batch - len(chunk)
                 valid[len(chunk):] = False
                 chunk = np.concatenate([chunk, idxs[:pad]])
-            pairs = list(self._pool.map(self.dataset.__getitem__, chunk))
-            images = np.stack([p[0] for p in pairs])
-            masks = np.stack([p[1] for p in pairs])
+            images, masks = self._decode_chunk(chunk)
             yield Batch(images, masks, valid)
 
     def _to_device(self, batch: Batch) -> Batch:

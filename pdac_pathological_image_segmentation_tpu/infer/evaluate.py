@@ -34,8 +34,8 @@ from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
 from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
     restore_checkpoint,
 )
-from pdac_pathological_image_segmentation_tpu.train.loop import (
-    _masked_dice_metrics,
+from pdac_pathological_image_segmentation_tpu.train.objective import (
+    make_objective,
 )
 from pdac_pathological_image_segmentation_tpu.train.state import (
     create_train_state,
@@ -73,20 +73,22 @@ class Evaluator:
 
         img_size = cfg.img_size
         model = self.model
+        self.objective = make_objective(cfg)
+        obj = self.objective
+        dtype = getattr(model, "dtype", None) or jnp.float32
 
         @jax.jit
         def step(state, image, mask, valid):
-            imgs, msks = eval_transform(image, mask, img_size=img_size)
+            imgs, msks = eval_transform(image, mask, img_size=img_size,
+                                        dtype=dtype)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 imgs, train=False,
             )
-            logits = out[..., 0]
-            loss, score = _masked_dice_metrics(logits, msks, valid)
-            preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) >= 0.5).astype(
-                jnp.float32
-            )
-            originals = denormalize(imgs)
+            loss = obj.loss_fn(out, msks, valid)
+            score = obj.score_fn(out, msks, valid)
+            preds = obj.predict_fn(out)
+            originals = denormalize(imgs.astype(jnp.float32))
             return loss, score, preds, msks, originals
 
         self._step = step

@@ -11,3 +11,6 @@ from pdac_pathological_image_segmentation_tpu.models.resnet import (  # noqa: F4
     ResNetEncoder,
 )
 from pdac_pathological_image_segmentation_tpu.models.resunet import ResUNet  # noqa: F401
+from pdac_pathological_image_segmentation_tpu.models.unetplusplus import (  # noqa: F401
+    UNetPlusPlus,
+)

@@ -12,6 +12,9 @@ from pdac_pathological_image_segmentation_tpu.models.deeplabv3plus import DeepLa
 from pdac_pathological_image_segmentation_tpu.models.fpn import FPN
 from pdac_pathological_image_segmentation_tpu.models.pspnet import PSPNet
 from pdac_pathological_image_segmentation_tpu.models.resunet import ResUNet
+from pdac_pathological_image_segmentation_tpu.models.unetplusplus import (
+    UNetPlusPlus,
+)
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
@@ -31,6 +34,10 @@ def build_model(cfg: Config) -> nn.Module:
                              output_size=cfg.img_size,
                              backbone=cfg.backbone,
                              atrous_rates=tuple(cfg.dilations), dtype=dtype)
+    if cfg.model == "unet++":
+        return UNetPlusPlus(num_classes=cfg.num_classes,
+                            output_size=cfg.img_size,
+                            backbone=cfg.backbone, dtype=dtype)
     if cfg.model == "pspnet":
         return PSPNet(num_classes=cfg.num_classes, output_size=cfg.img_size,
                       backbone=cfg.backbone, dtype=dtype)

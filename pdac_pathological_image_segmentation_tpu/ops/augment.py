@@ -44,11 +44,17 @@ _MEAN = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
 _STD = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
 
 
-def normalize(img: jax.Array) -> jax.Array:
-    """uint8/float [0,255] HWC/NHWC → ImageNet-normalized float32
-    (albumentations ``A.Normalize`` semantics: /255, −mean, /std)."""
-    img = img.astype(jnp.float32) / 255.0
-    return (img - _MEAN) / _STD
+def normalize(img: jax.Array, dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """uint8/float [0,255] HWC/NHWC → ImageNet-normalized floats
+    (albumentations ``A.Normalize`` semantics: /255, −mean, /std).
+
+    ``dtype=bfloat16`` keeps the whole normalize in the model's compute
+    dtype — uint8 values are exact in bf16, so this halves the HBM traffic
+    of the largest pre-model tensor on the inference path."""
+    img = img.astype(dtype)
+    mean = (_MEAN * 255.0).astype(dtype)
+    inv_std = (1.0 / (_STD * 255.0)).astype(dtype)
+    return (img - mean) * inv_std
 
 
 def denormalize(img: jax.Array) -> jax.Array:
@@ -222,12 +228,17 @@ def train_transform(
     return imgs, masks
 
 
-@functools.partial(jax.jit, static_argnames=("img_size",))
+@functools.partial(jax.jit, static_argnames=("img_size", "dtype"))
 def eval_transform(
-    images: jax.Array, masks: jax.Array, img_size: int
+    images: jax.Array, masks: jax.Array, img_size: int,
+    dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reference val/test pipeline (``train_main.py:82-88``, ``test.py:62-68``):
-    Resize → Normalize only."""
-    images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
+    Resize → Normalize only.  ``dtype`` controls the normalize output (pass
+    the model compute dtype to keep the hot path in bf16 end-to-end; the
+    common img_size==input case skips the resize entirely, so uint8 patches
+    normalize straight into bf16)."""
+    if images.shape[1] != img_size or images.shape[2] != img_size:
+        images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
     masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
-    return normalize(images * 1.0), masks
+    return normalize(images, dtype=dtype), masks

@@ -25,6 +25,7 @@ SURVEY.md §5):
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 import time
@@ -40,7 +41,6 @@ from pdac_pathological_image_segmentation_tpu.data.loader import (
     PatchLoader,
 )
 from pdac_pathological_image_segmentation_tpu.models.registry import build_model
-from pdac_pathological_image_segmentation_tpu.ops.dice import SMOOTH
 from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -50,6 +50,9 @@ from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
 from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
+)
+from pdac_pathological_image_segmentation_tpu.train.objective import (
+    make_objective,
 )
 from pdac_pathological_image_segmentation_tpu.train.steps import (
     make_eval_step,
@@ -63,6 +66,10 @@ from pdac_pathological_image_segmentation_tpu.train.state import (
     create_train_state,
 )
 from pdac_pathological_image_segmentation_tpu.utils.meters import EarlyStop
+from pdac_pathological_image_segmentation_tpu.utils.profiling import (
+    StepTimer,
+    trace,
+)
 
 
 class _ScalarWriter:
@@ -95,24 +102,6 @@ class _ScalarWriter:
         self._csv.close()
         if self._tb is not None:
             self._tb.close()
-
-
-def _masked_dice_metrics(logits, masks, valid):
-    """Per-batch soft dice loss + hard dice score with wrap-padded samples
-    masked out (matches the reference's smaller-final-batch metrics)."""
-    v = valid.astype(jnp.float32)[:, None, None]
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32)) * v
-    preds = (probs >= 0.5).astype(jnp.float32)  # probs already masked
-    masks = masks.astype(jnp.float32) * v
-    inter_soft = jnp.sum(probs * masks)
-    loss = 1.0 - (2.0 * inter_soft + SMOOTH) / (
-        jnp.sum(probs) + jnp.sum(masks) + SMOOTH
-    )
-    inter_hard = jnp.sum(preds * masks)
-    score = (2.0 * inter_hard + SMOOTH) / (
-        jnp.sum(preds) + jnp.sum(masks) + SMOOTH
-    )
-    return loss, score
 
 
 class Trainer:
@@ -171,6 +160,7 @@ class Trainer:
         self.is_chief = jax.process_index() == 0
         self.writer = _ScalarWriter(self.log_dir) if self.is_chief else None
 
+        self.objective = make_objective(cfg)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self.history: list[dict] = []
@@ -179,10 +169,12 @@ class Trainer:
 
     def _build_train_step(self):
         return make_train_step(self.model, self.cfg.img_size,
-                               parity_mode=self.cfg.parity_mode)
+                               parity_mode=self.cfg.parity_mode,
+                               objective=self.objective)
 
     def _build_eval_step(self):
-        return make_eval_step(self.model, self.cfg.img_size)
+        return make_eval_step(self.model, self.cfg.img_size,
+                              objective=self.objective)
 
     # ------------------------------------------------------------------ loops
 
@@ -226,20 +218,35 @@ class Trainer:
 
         base_key = jax.random.PRNGKey(cfg.seed)
         final_epoch = start_epoch
+        profile_epoch = cfg.extras.get("profile_epoch")
+        step_timer = StepTimer()
         for epoch in range(start_epoch, cfg.epochs):
             final_epoch = epoch
             t0 = time.time()
             losses, scores = [], []
             n_samples = 0
-            for step_idx, batch in enumerate(self.train_loader.epoch(epoch)):
-                key = jax.random.fold_in(jax.random.fold_in(base_key, epoch),
-                                         step_idx)
-                self.state, loss, score = self._train_step(
-                    self.state, key, batch.image, batch.mask
-                )
-                losses.append(loss)
-                scores.append(score)
-                n_samples += batch.image.shape[0]
+            profiling = (
+                profile_epoch is not None and epoch == int(profile_epoch)
+                and self.is_chief
+            )
+            ctx = (
+                trace(os.path.join(self.log_dir, "profile")) if profiling
+                else contextlib.nullcontext()
+            )
+            step_timer.reset()
+            with ctx:
+                for step_idx, batch in enumerate(self.train_loader.epoch(epoch)):
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(base_key, epoch), step_idx
+                    )
+                    step_timer.start()
+                    self.state, loss, score = self._train_step(
+                        self.state, key, batch.image, batch.mask
+                    )
+                    step_timer.stop()
+                    losses.append(loss)
+                    scores.append(score)
+                    n_samples += batch.image.shape[0]
             if not losses:
                 raise RuntimeError("empty train epoch — check train_path")
             train_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
@@ -284,6 +291,7 @@ class Trainer:
                 "train_loss": train_loss, "val_score": val_score,
                 "val_loss": val_loss, "lr": new_lr,
                 "epoch_time_s": epoch_time,
+                "step_time": step_timer.summary(),
             })
 
             if self.early_stopping.early_stop:

@@ -61,7 +61,10 @@ def create_train_state(
 ) -> TrainState:
     if input_shape is None:
         input_shape = (1, cfg.img_size, cfg.img_size, 3)
-    variables = model.init(
+    # jit the init: one compiled (and persistently cacheable) program instead
+    # of eager op-by-op dispatch — cuts cold-start from minutes to seconds on
+    # remote-compile TPU backends
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng}, jnp.zeros(input_shape, jnp.float32), train=False
     )
     params = variables["params"]

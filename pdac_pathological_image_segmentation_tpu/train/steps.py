@@ -3,14 +3,13 @@
 Factored out of the Trainer so the benchmark harness, the multichip dry-run
 entry, and tests all exercise the exact same compiled programs.  Each step
 fuses device-side augmentation (``ops/augment.py``), the model forward(+
-backward), Dice metrics, and the Adam update into one XLA computation; with a
-batch-sharded input the gradient/metric reductions lower to ICI psums
-(the reference's DDP all-reduce, ``train_worker.py:79``).
+backward), the objective (``train/objective.py``), and the Adam update into
+one XLA computation; with a batch-sharded input the gradient/metric
+reductions lower to ICI psums (the reference's DDP all-reduce,
+``train_worker.py:79``).
 """
 
 from __future__ import annotations
-
-import functools
 
 import flax.linen as nn
 import jax
@@ -20,21 +19,25 @@ from pdac_pathological_image_segmentation_tpu.ops.augment import (
     eval_transform,
     train_transform,
 )
-from pdac_pathological_image_segmentation_tpu.ops.dice import SMOOTH
+from pdac_pathological_image_segmentation_tpu.train.objective import (
+    Objective,
+    make_objective,
+)
 from pdac_pathological_image_segmentation_tpu.train.state import TrainState
 
 
-def _hard_dice(probs: jax.Array, masks: jax.Array) -> jax.Array:
-    preds = (probs >= 0.5).astype(jnp.float32)
-    inter = jnp.sum(preds * masks)
-    return (2.0 * inter + SMOOTH) / (jnp.sum(preds) + jnp.sum(masks) + SMOOTH)
+def _default_objective() -> Objective:
+    from pdac_pathological_image_segmentation_tpu.config import Config
+
+    return make_objective(Config(model="unet"))
 
 
 def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
-                    donate: bool = True):
+                    donate: bool = True, objective: Objective | None = None):
     """Returns jitted ``step(state, key, image_u8, mask_u8) →
     (new_state, loss, score)`` — the reference's per-batch body
     (``train_worker.py:67-83``) as one fused program."""
+    obj = objective or _default_objective()
 
     def step(state: TrainState, key, image, mask):
         k_aug, k_drop = jax.random.split(key)
@@ -48,65 +51,80 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
                 imgs, train=True, mutable=["batch_stats"],
                 rngs={"dropout": k_drop},
             )
-            logits = out[..., 0]  # reference torch.squeeze(out)
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-            inter = jnp.sum(probs * msks)
-            loss = 1.0 - (2.0 * inter + SMOOTH) / (
-                jnp.sum(probs) + jnp.sum(msks) + SMOOTH
-            )
-            return loss, (probs, mutated["batch_stats"])
+            loss = obj.loss_fn(out, msks)
+            return loss, (out, mutated["batch_stats"])
 
-        (loss, (probs, new_bs)), grads = jax.value_and_grad(
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        # hard dice on the pre-update forward (reference quirk #5,
+        # score on the pre-update forward (reference quirk #5,
         # train_worker.py:72-76)
-        score = _hard_dice(probs, msks)
+        score = obj.score_fn(out, msks)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return new_state, loss, score
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: nn.Module, img_size: int):
+def make_eval_step(model: nn.Module, img_size: int,
+                   objective: Objective | None = None):
     """Returns jitted ``step(state, image_u8, mask_u8, valid) →
     (loss, score)`` with wrap-padded samples masked out."""
+    obj = objective or _default_objective()
+    dtype = getattr(model, "dtype", None) or jnp.float32
 
     @jax.jit
     def step(state: TrainState, image, mask, valid):
-        imgs, msks = eval_transform(image, mask, img_size=img_size)
+        imgs, msks = eval_transform(image, mask, img_size=img_size,
+                                    dtype=dtype)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             imgs, train=False,
         )
-        logits = out[..., 0]
-        v = valid.astype(jnp.float32)[:, None, None]
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32)) * v
-        msks = msks.astype(jnp.float32) * v
-        inter = jnp.sum(probs * msks)
-        loss = 1.0 - (2.0 * inter + SMOOTH) / (
-            jnp.sum(probs) + jnp.sum(msks) + SMOOTH
-        )
-        score = _hard_dice(probs, msks)
-        return loss, score
+        return obj.loss_fn(out, msks, valid), obj.score_fn(out, msks, valid)
 
     return step
 
 
 def make_infer_step(model: nn.Module, img_size: int):
-    """Returns jitted ``step(state, image_u8) → probs`` — the tile→mask
-    inference path (resize+normalize+forward+sigmoid fused)."""
+    """Returns jitted ``step(state, image_u8) → probs`` — the binary
+    tile→mask inference path (resize+normalize+forward+sigmoid fused)."""
+    dtype = getattr(model, "dtype", None) or jnp.float32
 
     @jax.jit
     def step(state: TrainState, image):
         n = image.shape[0]
         imgs, _ = eval_transform(
-            image, jnp.zeros((n, 1, 1), jnp.uint8), img_size=img_size
+            image, jnp.zeros((n, 1, 1), jnp.uint8), img_size=img_size,
+            dtype=dtype,
         )
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             imgs, train=False,
         )
         return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))
+
+    return step
+
+
+def make_predict_step(model: nn.Module, img_size: int,
+                      objective: Objective | None = None):
+    """Returns jitted ``step(state, image_u8) → hard labels`` — binary
+    (sigmoid≥0.5) or multi-class (argmax) depending on the objective."""
+    obj = objective or _default_objective()
+    dtype = getattr(model, "dtype", None) or jnp.float32
+
+    @jax.jit
+    def step(state: TrainState, image):
+        n = image.shape[0]
+        imgs, _ = eval_transform(
+            image, jnp.zeros((n, 1, 1), jnp.uint8), img_size=img_size,
+            dtype=dtype,
+        )
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False,
+        )
+        return obj.predict_fn(out)
 
     return step
