@@ -77,12 +77,110 @@ def main() -> None:
 
     patches_per_sec = n_iters * batch / dt
     print(json.dumps({
-        "metric": "512x512 patches/sec/chip tile->mask (fpn/resnet18, bf16)",
+        "metric": "512x512 patches/sec/chip tile->mask (unet/resnet18, bf16)",
         "value": round(patches_per_sec, 1),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / TARGET, 3),
     }))
 
 
+def bench_train() -> None:
+    """Training-step throughput (fwd+bwd+Adam, device-side augmentation)."""
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+    from pdac_pathological_image_segmentation_tpu.train.steps import (
+        make_train_step,
+    )
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = Config(model="unet", img_size=512, compute_dtype="bfloat16")
+    model = build_model(cfg)
+    state = jax.device_put(create_train_state(cfg, model, jax.random.PRNGKey(0)))
+    step = make_train_step(model, 512, donate=False)
+    batch = 128
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
+    m = jax.device_put(rng.integers(0, 2, (batch, 512, 512), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    state, loss, _ = step(state, key, x, m)
+    _ = float(loss)  # compile + completion
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 25:
+        state, loss, _ = step(state, key, x, m)
+        _ = float(loss)
+        n += 1
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "512x512 train patches/sec/chip (unet, bf16, fwd+bwd+adam)",
+        "value": round(n * batch / dt, 1),
+        "unit": "patches/s",
+        "vs_baseline": None,
+    }))
+
+
+def bench_wsi(size: int = 8192) -> None:
+    """Full-slide sliding-window inference wall-clock: synthetic slide,
+    50% tile overlap, hann blend, on-device stitching (BASELINE config #4
+    scaled to this harness; scale `--size` up on real hardware)."""
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        GridTiler,
+        SlidingWindowInference,
+    )
+    from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = Config(model="unet", img_size=512, compute_dtype="bfloat16")
+    model = build_model(cfg)
+    state = jax.device_put(create_train_state(cfg, model, jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    slide = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=512, stride=256)
+    runner = SlidingWindowInference(model, state, tile=512, batch_size=64,
+                                    blend="hann", num_workers=8)
+    # warm the compile with one small pass
+    warm = GridTiler(slide[:1024, :1024], tile=512, stride=256)
+    runner.run(warm)
+    t0 = time.perf_counter()
+    prob, mask = runner.run(tiler)
+    dt = time.perf_counter() - t0
+    mp = size * size / 1e6
+    print(json.dumps({
+        "metric": f"{size}x{size} WSI sliding-window wall-clock "
+                  "(512 tiles, 2x overlap, hann blend, on-device stitch)",
+        "value": round(dt, 2),
+        "unit": "s",
+        "vs_baseline": None,
+        "tiles": len(tiler),
+        "megapixels_per_s": round(mp / dt, 1),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", default="infer",
+                        choices=("infer", "train", "wsi"))
+    parser.add_argument("--size", type=int, default=8192,
+                        help="WSI side length for --mode wsi")
+    args = parser.parse_args()
+    if args.mode == "infer":
+        main()
+    elif args.mode == "train":
+        bench_train()
+    else:
+        bench_wsi(args.size)

@@ -1,0 +1,195 @@
+"""Multi-chip sharded sliding-window WSI inference.
+
+The reference handles gigapixel scale purely by host-side tiling (SURVEY.md
+§2.2: its "long-context" analog is spatial, and it is single-GPU batch-1).
+This module is the TPU-native scale-out: the slide canvas is sharded into
+horizontal bands across the ``data`` mesh axis, every chip predicts and
+stitches *its own band's tiles* locally, and tile rows that spill past a
+band boundary travel to the next chip over ICI via a single
+``lax.ppermute`` halo exchange per chunk — no host round-trips, no
+all-gather of tile probabilities.
+
+Layout:
+
+* band b ∈ [0, D) owns canvas rows ``[b·band_h, (b+1)·band_h)``;
+* a tile is assigned to the band containing its top edge, so its local
+  row offset is in ``[0, band_h)`` and it spills at most ``tile`` rows into
+  the next band (requires ``band_h ≥ tile``);
+* per chip the accumulation buffer is ``band_h + tile`` rows: the top
+  ``band_h`` are the owned band, the last ``tile`` rows are the outgoing
+  halo, shifted down one chip by ``ppermute`` and added to the next band's
+  top rows.
+
+The whole per-chunk program (model forward + local scatter + halo shift)
+runs inside one ``shard_map``-ped jit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pdac_pathological_image_segmentation_tpu.ops.stitch import blend_window
+from pdac_pathological_image_segmentation_tpu.parallel.mesh import DATA_AXIS
+
+
+def _band_accumulate(accum, weight, probs, coords_local, valid, win):
+    """Scan-accumulate tiles into the (band_h + tile)-row local buffer."""
+    tile = probs.shape[-1]
+
+    def body(carry, inp):
+        acc, wgt = carry
+        p, yx, v = inp
+        y, x = yx[0], yx[1]
+        w_eff = win * v.astype(jnp.float32)
+        patch = jax.lax.dynamic_slice(acc, (y, x), (tile, tile))
+        acc = jax.lax.dynamic_update_slice(acc, patch + p * w_eff, (y, x))
+        wpatch = jax.lax.dynamic_slice(wgt, (y, x), (tile, tile))
+        wgt = jax.lax.dynamic_update_slice(wgt, wpatch + w_eff, (y, x))
+        return (acc, wgt), None
+
+    (accum, weight), _ = jax.lax.scan(
+        body, (accum, weight), (probs, coords_local, valid)
+    )
+    return accum, weight
+
+
+class ShardedSlidingWindow:
+    """Data-mesh-sharded sliding-window inference + on-device banded
+    stitching with ICI halo exchange."""
+
+    def __init__(self, model, state, mesh: Mesh, tile: int = 512,
+                 batch_per_device: int = 8, blend: str = "hann",
+                 tta: bool = False) -> None:
+        from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+            _make_tta_infer,
+        )
+        from pdac_pathological_image_segmentation_tpu.train.steps import (
+            make_infer_step,
+        )
+
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size
+        self.tile = tile
+        self.batch_per_device = batch_per_device
+        self.blend = blend
+        self.state = state
+        # raw (unjitted) tile→probs fn; it is traced inside the shard_map
+        raw_infer = make_infer_step(model, tile)
+        self._infer = _make_tta_infer(raw_infer, tta)
+
+    # ------------------------------------------------------------------
+
+    def _plan(self, coords: np.ndarray, canvas_hw: Tuple[int, int]):
+        """Assign tiles to bands by top edge; pad every band to the same
+        tile count (invalid slots masked out on device)."""
+        h, w = canvas_hw
+        d = self.n_devices
+        band_h = -(-h // d)
+        if band_h < self.tile:
+            raise ValueError(
+                f"band height {band_h} < tile {self.tile}: use fewer devices "
+                f"or a taller slide (canvas {h}×{w}, {d} devices)"
+            )
+        owners = np.minimum(coords[:, 0] // band_h, d - 1)
+        per_band: List[List[int]] = [[] for _ in range(d)]
+        for i, o in enumerate(owners):
+            per_band[int(o)].append(i)
+        max_n = max(len(b) for b in per_band)
+        # round up to a multiple of batch_per_device for static chunking
+        bpd = self.batch_per_device
+        max_n = -(-max_n // bpd) * bpd
+        idx = np.zeros((d, max_n), dtype=np.int64)
+        valid = np.zeros((d, max_n), dtype=bool)
+        for b, lst in enumerate(per_band):
+            idx[b, :len(lst)] = lst
+            valid[b, :len(lst)] = True
+        return band_h, idx, valid
+
+    def _build_step(self, band_h: int, canvas_w: int):
+        tile, bpd = self.tile, self.batch_per_device
+        win = blend_window(tile, self.blend)
+        infer = self._infer
+        axis = DATA_AXIS
+        d = self.n_devices
+
+        def per_device(state, accum, weight, images, coords_local, valid):
+            # accum/weight: (1, band_h + tile, W); images: (1, bpd, t, t, 3)
+            accum, weight = accum[0], weight[0]
+            probs = infer(state, images[0])  # (bpd, t, t) f32
+            accum, weight = _band_accumulate(
+                accum, weight, probs, coords_local[0], valid[0], win
+            )
+            # halo: last `tile` rows travel to the NEXT band (device b+1)
+            halo_a = accum[band_h:]
+            halo_w = weight[band_h:]
+            perm = [(i, i + 1) for i in range(d - 1)]
+            recv_a = jax.lax.ppermute(halo_a, axis, perm)
+            recv_w = jax.lax.ppermute(halo_w, axis, perm)
+            accum = accum.at[:tile].add(recv_a)
+            weight = weight.at[:tile].add(recv_w)
+            # zero the outgoing halo rows — they now live downstream
+            accum = accum.at[band_h:].set(0.0)
+            weight = weight.at[band_h:].set(0.0)
+            return accum[None], weight[None]
+
+        sharded = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+        return jax.jit(sharded, donate_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+
+    def run(self, source) -> Tuple[np.ndarray, np.ndarray]:
+        """Predict + stitch a tile source (same protocol as
+        ``infer.wsi``: ``len``, ``get(i) → (tile_u8, (y, x))``,
+        ``canvas_hw``).  Returns host (prob_map, binary_mask)."""
+        h, w = source.canvas_hw
+        n = len(source)
+        coords = np.asarray([source.get(i)[1] for i in range(n)], np.int64)
+        band_h, idx, valid = self._plan(coords, (h, w))
+        d, max_n = idx.shape
+        tile, bpd = self.tile, self.batch_per_device
+
+        step = self._build_step(band_h, w)
+        band_shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        accum = jax.device_put(
+            jnp.zeros((d, band_h + tile, w), jnp.float32), band_shard
+        )
+        weight = jax.device_put(
+            jnp.zeros((d, band_h + tile, w), jnp.float32), band_shard
+        )
+
+        for start in range(0, max_n, bpd):
+            images = np.zeros((d, bpd, tile, tile, 3), np.uint8)
+            cl = np.zeros((d, bpd, 2), np.int32)
+            vl = np.zeros((d, bpd), bool)
+            for b in range(d):
+                for j in range(bpd):
+                    k = start + j
+                    if k >= max_n or not valid[b, k]:
+                        continue
+                    img, (y, x) = source.get(int(idx[b, k]))
+                    images[b, j] = img
+                    cl[b, j] = (y - b * band_h, x)
+                    vl[b, j] = True
+            accum, weight = step(
+                self.state, accum, weight,
+                jax.device_put(images, band_shard),
+                jax.device_put(jnp.asarray(cl), band_shard),
+                jax.device_put(jnp.asarray(vl), band_shard),
+            )
+
+        accum_h = np.asarray(jax.device_get(accum))[:, :band_h, :]
+        weight_h = np.asarray(jax.device_get(weight))[:, :band_h, :]
+        accum_full = accum_h.reshape(d * band_h, w)[:h]
+        weight_full = weight_h.reshape(d * band_h, w)[:h]
+        prob = np.where(weight_full > 0,
+                        accum_full / np.maximum(weight_full, 1e-12), 0.0)
+        return prob.astype(np.float32), (prob >= 0.5).astype(np.uint8)

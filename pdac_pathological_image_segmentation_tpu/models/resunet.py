@@ -11,6 +11,10 @@ Reference: ``models/resunet.py:7-58``.  Faithfully reproduced details:
   ``align_corners=False`` upsample to ``output_size``
   (``models/resunet.py:48-56``).  Output is logits (sigmoid applied by
   callers, ``train_worker.py:72``).
+
+``features()`` exposes the pre-head decoder activations so the fused Pallas
+inference head (``ops/pallas/fused_head.py``) can consume them together with
+the ``conv4`` parameters.
 """
 
 from __future__ import annotations
@@ -31,35 +35,40 @@ class ResUNet(nn.Module):
     backbone: str = "resnet18"
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        # Encoder (x1 is the stem feature the reference computes but never
-        # skips; layer outputs are x2..x5 in the reference's naming)
-        _, x2, x3, x4, x5 = ResNetEncoder(
-            backbone=self.backbone, dtype=self.dtype, name="encoder"
-        )(x, train=train)
+    def setup(self) -> None:
+        self.encoder = ResNetEncoder(backbone=self.backbone, dtype=self.dtype)
+        self.upconv1 = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                                        padding="VALID", dtype=self.dtype)
+        self.conv1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
+        self.upconv2 = nn.ConvTranspose(128, (2, 2), strides=(2, 2),
+                                        padding="VALID", dtype=self.dtype)
+        self.conv2 = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)
+        self.upconv3 = nn.ConvTranspose(64, (2, 2), strides=(2, 2),
+                                        padding="VALID", dtype=self.dtype)
+        self.conv3 = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)
+        self.conv4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)
 
-        # Decoder — ConvTranspose k2 s2 ("VALID" ≡ torch p0: exact 2× upsample)
-        y = nn.ConvTranspose(256, (2, 2), strides=(2, 2), padding="VALID",
-                             dtype=self.dtype, name="upconv1")(x5)
+    def features(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Encoder + decoder up to (excluding) the 1×1 head: N,H/4,W/4,64."""
+        # x1 (stem) is the skip the reference computes but never uses
+        _, x2, x3, x4, x5 = self.encoder(x, train=train)
+
+        y = self.upconv1(x5)
         y = jnp.concatenate([y, x4], axis=-1)
-        y = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
-                            name="conv1")(y))
+        y = nn.relu(self.conv1(y))
 
-        y = nn.ConvTranspose(128, (2, 2), strides=(2, 2), padding="VALID",
-                             dtype=self.dtype, name="upconv2")(y)
+        y = self.upconv2(y)
         y = jnp.concatenate([y, x3], axis=-1)
-        y = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
-                            name="conv2")(y))
+        y = nn.relu(self.conv2(y))
 
-        y = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID",
-                             dtype=self.dtype, name="upconv3")(y)
+        y = self.upconv3(y)
         y = jnp.concatenate([y, x2], axis=-1)
-        y = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype,
-                            name="conv3")(y))
+        y = nn.relu(self.conv3(y))
+        return y
 
-        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="conv4")(y)
-
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.conv4(self.features(x, train=train))
         # single 4× bilinear upsample, align_corners=False semantics
-        y = resize_bilinear(y.astype(jnp.float32), self.output_size, self.output_size)
+        y = resize_bilinear(y.astype(jnp.float32), self.output_size,
+                            self.output_size)
         return y  # N,H,W,num_classes logits, float32

@@ -1,0 +1,46 @@
+import jax
+import numpy as np
+
+from pdac_pathological_image_segmentation_tpu.config import Config
+from pdac_pathological_image_segmentation_tpu.infer.sweep import run_sweep
+from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+from pdac_pathological_image_segmentation_tpu.parallel.mesh import create_mesh
+from pdac_pathological_image_segmentation_tpu.train.state import (
+    create_train_state,
+)
+
+TILE = 32
+
+
+def _model_state():
+    cfg = Config(model="unet", img_size=TILE, compute_dtype="float32")
+    model = build_model(cfg)
+    return model, create_train_state(cfg, model, jax.random.PRNGKey(0))
+
+
+def test_sweep_over_cohort(tmp_path):
+    model, state = _model_state()
+    rng = np.random.default_rng(0)
+    slides = [
+        rng.integers(0, 256, (96, 64, 3), dtype=np.uint8),
+        rng.integers(0, 256, (64, 96, 3), dtype=np.uint8),
+    ]
+    results = run_sweep(model, state, slides, tile=TILE, stride=TILE,
+                        batch_size=8, out_dir=str(tmp_path))
+    assert [r["slide"] for r in results] == [0, 1]
+    assert results[0]["canvas_hw"] == (96, 64)
+    mask = np.load(tmp_path / "slide_0000_mask.npy")
+    assert mask.shape == (96, 64)
+    assert all(0.0 <= r["tumor_fraction"] <= 1.0 for r in results)
+
+
+def test_sweep_sharded_matches_plain():
+    model, state = _model_state()
+    rng = np.random.default_rng(1)
+    slides = [rng.integers(0, 256, (288, 64, 3), dtype=np.uint8)]
+    mesh = create_mesh()
+    plain = run_sweep(model, state, slides, tile=TILE, stride=16,
+                      batch_size=8)
+    shard = run_sweep(model, state, slides, tile=TILE, stride=16,
+                      batch_size=8, mesh=mesh, sharded=True)
+    np.testing.assert_allclose(plain[0]["prob"], shard[0]["prob"], atol=2e-5)

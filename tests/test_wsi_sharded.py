@@ -1,0 +1,79 @@
+"""Sharded (8 virtual devices) sliding-window WSI inference must match the
+single-device path exactly — same tiles, same blend, halo exchange over the
+mesh instead of a single canvas."""
+
+import jax
+import numpy as np
+import pytest
+
+from pdac_pathological_image_segmentation_tpu.config import Config
+from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+    GridTiler,
+    SlidingWindowInference,
+)
+from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
+    ShardedSlidingWindow,
+)
+from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+from pdac_pathological_image_segmentation_tpu.parallel.mesh import create_mesh
+from pdac_pathological_image_segmentation_tpu.train.state import (
+    create_train_state,
+)
+
+TILE = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model="unet", img_size=TILE, compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mesh = create_mesh()  # 8 fake CPU devices
+    return model, state, mesh
+
+
+@pytest.mark.parametrize("blend,stride", [("hann", 16), ("uniform", 32)])
+def test_sharded_matches_single_device(setup, blend, stride):
+    model, state, mesh = setup
+    rng = np.random.default_rng(0)
+    # 8 devices × band_h ≥ 32 → slide taller than 256
+    slide = rng.integers(0, 256, (320, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=stride)
+
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend=blend, num_workers=2)
+    prob_ref, mask_ref = single.run(tiler)
+
+    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                   batch_per_device=4, blend=blend)
+    prob, mask = sharded.run(tiler)
+
+    assert prob.shape == prob_ref.shape == (320, 96)
+    np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
+    # binary masks may differ only on knife-edge 0.5 pixels; require none
+    np.testing.assert_array_equal(mask, mask_ref)
+
+
+def test_sharded_rejects_too_many_devices(setup):
+    model, state, mesh = setup
+    rng = np.random.default_rng(1)
+    slide = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)  # 8 bands < tile
+    tiler = GridTiler(slide, tile=TILE, stride=TILE)
+    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE)
+    with pytest.raises(ValueError, match="band height"):
+        sharded.run(tiler)
+
+
+def test_sharded_tta(setup):
+    model, state, mesh = setup
+    rng = np.random.default_rng(2)
+    slide = rng.integers(0, 256, (288, 64, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=TILE)
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend="uniform", tta=True, num_workers=2)
+    prob_ref, _ = single.run(tiler)
+    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                   batch_per_device=2, blend="uniform",
+                                   tta=True)
+    prob, _ = sharded.run(tiler)
+    np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
