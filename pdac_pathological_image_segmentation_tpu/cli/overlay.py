@@ -56,6 +56,10 @@ def main(argv=None) -> dict:
                         choices=("uniform", "hann", "pyramid"),
                         help="overlap blend window (PyHIST tiles don't "
                         "overlap → uniform reproduces the reference paste)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="banded-canvas multi-chip stitching with ICI "
+                        "halo exchange (for slides larger than one chip's "
+                        "HBM)")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -68,11 +72,25 @@ def main(argv=None) -> dict:
 
     evaluator = Evaluator(cfg, args.pth_path)
     source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path, tile=cfg.img_size)
-    runner = SlidingWindowInference(
-        evaluator.model, evaluator.state, tile=cfg.img_size,
-        batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
-        num_workers=cfg.num_worker,
-    )
+    if args.sharded:
+        from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
+            ShardedSlidingWindow,
+        )
+
+        runner = ShardedSlidingWindow(
+            evaluator.model, evaluator.state, evaluator.mesh,
+            tile=cfg.img_size,
+            batch_per_device=max(
+                1, max(cfg.batch_size, 8) // evaluator.mesh.devices.size
+            ),
+            tta=args.tta, blend=args.blend,
+        )
+    else:
+        runner = SlidingWindowInference(
+            evaluator.model, evaluator.state, tile=cfg.img_size,
+            batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
+            num_workers=cfg.num_worker,
+        )
     prob, mask = runner.run(source)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)

@@ -34,6 +34,13 @@ def main(argv=None) -> dict:
     initialize_distributed()
     cfg = load_config(args.config)
 
+    if cfg.extras.get("debug_nans"):
+        # SURVEY.md §5 sanitizer equivalent: trap NaNs at the op that
+        # produced them (re-runs the offending op un-jitted)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     train_imgs, train_masks = discover_split(cfg.train_path)
     val_imgs, val_masks = discover_split(cfg.val_path)
     train_set = PatchDataset(train_imgs, train_masks, cfg)

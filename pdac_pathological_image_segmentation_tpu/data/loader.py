@@ -211,11 +211,14 @@ class PatchLoader:
         uploads batch i+1)."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error: list = []
 
         def producer():
             try:
                 for hb in self._host_batches(epoch):
                     q.put(self._to_device(hb))
+            except BaseException as e:  # surface decode errors to the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -227,3 +230,5 @@ class PatchLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]

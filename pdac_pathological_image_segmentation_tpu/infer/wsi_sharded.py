@@ -89,12 +89,10 @@ class ShardedSlidingWindow:
         tile count (invalid slots masked out on device)."""
         h, w = canvas_hw
         d = self.n_devices
-        band_h = -(-h // d)
-        if band_h < self.tile:
-            raise ValueError(
-                f"band height {band_h} < tile {self.tile}: use fewer devices "
-                f"or a taller slide (canvas {h}×{w}, {d} devices)"
-            )
+        # band height must cover the tile so a tile spills into at most one
+        # neighbor; short slides just leave the trailing bands empty (their
+        # canvas rows are cropped away at the end)
+        band_h = max(-(-h // d), self.tile)
         owners = np.minimum(coords[:, 0] // band_h, d - 1)
         per_band: List[List[int]] = [[] for _ in range(d)]
         for i, o in enumerate(owners):

@@ -117,6 +117,41 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class _StemConv(nn.Module):
+    """The 7×7/2 stem conv, optionally computed via the exact
+    space-to-depth fold (``ops/folded_stem.py``) that keeps the MXU
+    contraction dimension full.  The parameter tree is identical either
+    way (``conv1/kernel`` in HWIO), so checkpoints and the torchvision
+    weight converter are unaffected."""
+
+    features: int = 64
+    fold: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import jax.numpy as _jnp
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+            _jnp.float32,
+        )
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.fold:
+            from pdac_pathological_image_segmentation_tpu.ops.folded_stem import (
+                folded_stem_conv,
+            )
+
+            return folded_stem_conv(x, kernel)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNetEncoder(nn.Module):
     """ResNet feature extractor (no avgpool/fc head — the reference never
     uses them, which is why its DDP needs ``find_unused_parameters=True`` at
@@ -128,6 +163,11 @@ class ResNetEncoder(nn.Module):
 
     backbone: str = "resnet18"
     output_stride: int = 32
+    # exact space-to-depth stem rewrite — measured SLOWER than XLA's own
+    # handling of the 7×7/2 stem on v5e (3,448 vs 3,603 patches/s end-to-end,
+    # r1 bench): the s2d re-layout costs more HBM traffic than the fuller MXU
+    # contraction saves.  Kept opt-in per the keep-whichever-wins rule.
+    fold_stem: bool = False
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -143,8 +183,8 @@ class ResNetEncoder(nn.Module):
         layers: Sequence[int] = cfg["layers"]
 
         # stem: 7×7/2 conv, BN, ReLU  (stride 2)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        y = _StemConv(features=64, fold=self.fold_stem, dtype=self.dtype,
+                      name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
         c1 = nn.relu(y)

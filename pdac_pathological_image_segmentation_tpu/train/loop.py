@@ -124,6 +124,13 @@ class Trainer:
         os.makedirs(self.pth_path, exist_ok=True)
 
         self.mesh = mesh if mesh is not None else create_mesh(cfg.num_devices)
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} must divide evenly "
+                f"across the {n_dev}-device data mesh (the reference floors "
+                f"per-rank batches, train_worker.py:208; we require exact)"
+            )
         self.data_sharding = batch_sharding(self.mesh)
         self.repl_sharding = replicated_sharding(self.mesh)
 

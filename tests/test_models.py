@@ -92,3 +92,19 @@ def test_resunet_stem_skip_unused_topology():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     k = variables["params"]["conv1"]["kernel"]
     assert k.shape == (3, 3, 512, 256)
+
+
+def test_folded_stem_matches_unfolded():
+    """ResNetEncoder(fold_stem=True) is bit-equivalent (fp noise) to the
+    plain 7×7/2 stem with the same params (ops/folded_stem.py)."""
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, SIZE, SIZE, 3)), jnp.float32
+    )
+    enc_fold = ResNetEncoder(backbone="resnet18", fold_stem=True)
+    enc_plain = ResNetEncoder(backbone="resnet18", fold_stem=False)
+    variables = enc_fold.init(jax.random.PRNGKey(0), x, train=False)
+    f_fold = enc_fold.apply(variables, x, train=False)
+    f_plain = enc_plain.apply(variables, x, train=False)
+    for a, b in zip(f_fold, f_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -54,14 +54,21 @@ def test_sharded_matches_single_device(setup, blend, stride):
     np.testing.assert_array_equal(mask, mask_ref)
 
 
-def test_sharded_rejects_too_many_devices(setup):
+def test_sharded_short_slide_pads_empty_bands(setup):
+    """A slide shorter than devices×tile still works: trailing bands get no
+    tiles and their padded canvas rows are cropped away."""
     model, state, mesh = setup
     rng = np.random.default_rng(1)
-    slide = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)  # 8 bands < tile
+    slide = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
     tiler = GridTiler(slide, tile=TILE, stride=TILE)
-    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE)
-    with pytest.raises(ValueError, match="band height"):
-        sharded.run(tiler)
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                    blend="uniform", num_workers=2)
+    prob_ref, _ = single.run(tiler)
+    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                   batch_per_device=2, blend="uniform")
+    prob, _ = sharded.run(tiler)
+    assert prob.shape == (64, 64)
+    np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
 
 
 def test_sharded_tta(setup):
