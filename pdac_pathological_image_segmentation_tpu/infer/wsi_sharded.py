@@ -6,7 +6,8 @@ This module is the TPU-native scale-out: the slide canvas is sharded into
 horizontal bands across the ``data`` mesh axis, every chip predicts and
 stitches *its own band's tiles* locally, and tile rows that spill past a
 band boundary travel to the next chip over ICI via a single
-``lax.ppermute`` halo exchange per chunk — no host round-trips, no
+``lax.ppermute`` halo exchange per slide (halo rows only ever accumulate,
+so the exchange defers to finalization) — no host round-trips, no
 all-gather of tile probabilities.
 
 Layout:
@@ -17,11 +18,11 @@ Layout:
   the next band (requires ``band_h ≥ tile``);
 * per chip the accumulation buffer is ``band_h + tile`` rows: the top
   ``band_h`` are the owned band, the last ``tile`` rows are the outgoing
-  halo, shifted down one chip by ``ppermute`` and added to the next band's
-  top rows.
+  halo, shifted down one chip by a single finalize-time ``ppermute`` and
+  added to the next band's top rows.
 
-The whole per-chunk program (model forward + local scatter + halo shift)
-runs inside one ``shard_map``-ped jit.
+The per-chunk program (model forward + local scatter) and the finalize
+(halo exchange + crop) each run inside one ``shard_map``-ped jit.
 """
 
 from __future__ import annotations
@@ -117,22 +118,16 @@ class ShardedSlidingWindow:
 
         def per_device(state, accum, weight, images, coords_local, valid):
             # accum/weight: (1, band_h + tile, W); images: (1, bpd, t, t, 3)
+            # Purely local: tiles accumulate into the band + its trailing
+            # halo rows; the single ICI halo exchange happens once per
+            # slide in the finalize step (halo contributions only ever add,
+            # so deferring the ppermute is exact and uses D−1 ICI messages
+            # per slide instead of per chunk).
             accum, weight = accum[0], weight[0]
             probs = infer(state, images[0])  # (bpd, t, t) f32
             accum, weight = _band_accumulate(
                 accum, weight, probs, coords_local[0], valid[0], win
             )
-            # halo: last `tile` rows travel to the NEXT band (device b+1)
-            halo_a = accum[band_h:]
-            halo_w = weight[band_h:]
-            perm = [(i, i + 1) for i in range(d - 1)]
-            recv_a = jax.lax.ppermute(halo_a, axis, perm)
-            recv_w = jax.lax.ppermute(halo_w, axis, perm)
-            accum = accum.at[:tile].add(recv_a)
-            weight = weight.at[:tile].add(recv_w)
-            # zero the outgoing halo rows — they now live downstream
-            accum = accum.at[band_h:].set(0.0)
-            weight = weight.at[band_h:].set(0.0)
             return accum[None], weight[None]
 
         sharded = jax.shard_map(
@@ -141,6 +136,27 @@ class ShardedSlidingWindow:
             out_specs=(P(axis), P(axis)),
         )
         return jax.jit(sharded, donate_argnums=(1, 2))
+
+    def _build_finalize(self, band_h: int):
+        tile = self.tile
+        axis = DATA_AXIS
+        d = self.n_devices
+
+        def per_device(accum, weight):
+            accum, weight = accum[0], weight[0]
+            # halo: the trailing `tile` rows belong to the NEXT band
+            perm = [(i, i + 1) for i in range(d - 1)]
+            recv_a = jax.lax.ppermute(accum[band_h:], axis, perm)
+            recv_w = jax.lax.ppermute(weight[band_h:], axis, perm)
+            accum = accum.at[:tile].add(recv_a)
+            weight = weight.at[:tile].add(recv_w)
+            return accum[None, :band_h], weight[None, :band_h]
+
+        sharded = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(P(axis), P(axis)), out_specs=(P(axis), P(axis)),
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
 
@@ -184,8 +200,10 @@ class ShardedSlidingWindow:
                 jax.device_put(jnp.asarray(vl), band_shard),
             )
 
-        accum_h = np.asarray(jax.device_get(accum))[:, :band_h, :]
-        weight_h = np.asarray(jax.device_get(weight))[:, :band_h, :]
+        finalize = self._build_finalize(band_h)
+        accum, weight = finalize(accum, weight)
+        accum_h = np.asarray(jax.device_get(accum))
+        weight_h = np.asarray(jax.device_get(weight))
         accum_full = accum_h.reshape(d * band_h, w)[:h]
         weight_full = weight_h.reshape(d * band_h, w)[:h]
         prob = np.where(weight_full > 0,

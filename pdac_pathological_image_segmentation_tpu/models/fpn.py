@@ -27,17 +27,50 @@ def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(n, h * 2, w * 2, c)
 
 
-class _Conv3x3GNReLU(nn.Module):
-    channels: int
-    upsample: bool = False
+class _GNReLU(nn.Module):
+    """GroupNorm(32)+ReLU with the same param tree as ``nn.GroupNorm``
+    (scale/bias).  Inference uses the fused Pallas kernel
+    (``ops/pallas/group_norm.py`` — 1.65 ms vs XLA's 3.06 ms on the FPN's
+    [128,128,128,128] blocks, r1 measured); training and non-TPU backends
+    use the identical-math XLA ops (the kernel has no VJP yet)."""
+
+    num_groups: int = 32
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        if self.use_pallas and not train and on_tpu:
+            from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
+                group_norm_relu,
+            )
+
+            return group_norm_relu(x, scale, bias,
+                                   num_groups=self.num_groups)
+        from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
+            xla_group_norm_relu,
+        )
+
+        return xla_group_norm_relu(x, scale, bias,
+                                   num_groups=self.num_groups)
+
+
+class _Conv3x3GNReLU(nn.Module):
+    channels: int
+    upsample: bool = False
+    use_pallas: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
-        x = nn.relu(x)
+        x = _GNReLU(use_pallas=self.use_pallas, dtype=self.dtype,
+                    name="GroupNorm_0")(x, train=train)
         if self.upsample:
             x = _upsample_nearest_2x(x)
         return x
@@ -50,6 +83,7 @@ class FPN(nn.Module):
     pyramid_channels: int = 256
     segmentation_channels: int = 128
     dropout: float = 0.2
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,10 +105,13 @@ class FPN(nn.Module):
         outs = []
         for i, (p, n_up) in enumerate(((p5, 3), (p4, 2), (p3, 1), (p2, 0))):
             y = _Conv3x3GNReLU(self.segmentation_channels, upsample=n_up > 0,
-                               dtype=self.dtype, name=f"seg{i}_0")(p)
+                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               name=f"seg{i}_0")(p, train=train)
             for j in range(1, n_up):
                 y = _Conv3x3GNReLU(self.segmentation_channels, upsample=True,
-                                   dtype=self.dtype, name=f"seg{i}_{j}")(y)
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
+                                   name=f"seg{i}_{j}")(y, train=train)
             outs.append(y)
         y = sum(outs)
 

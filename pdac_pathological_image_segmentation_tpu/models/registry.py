@@ -27,8 +27,15 @@ def build_model(cfg: Config) -> nn.Module:
         return ResUNet(num_classes=cfg.num_classes, output_size=cfg.img_size,
                        backbone="resnet18", dtype=dtype)
     if cfg.model == "fpn":
+        # Pallas GN wins standalone (1.65 vs 3.06 ms) but loses in-model
+        # (59.9 vs 52.1 ms/step): the custom call forces standard layouts,
+        # inserting two full-tensor copies around each of the 7 GN sites.
+        # Off by default per keep-whichever-wins; cfg extra
+        # `fpn_pallas_gn: true` opts in.
         return FPN(num_classes=cfg.num_classes, output_size=cfg.img_size,
-                   backbone=cfg.backbone, dtype=dtype)
+                   backbone=cfg.backbone,
+                   use_pallas=bool(cfg.extras.get("fpn_pallas_gn", False)),
+                   dtype=dtype)
     if cfg.model == "deeplabv3+":
         return DeepLabV3Plus(num_classes=cfg.num_classes,
                              output_size=cfg.img_size,
