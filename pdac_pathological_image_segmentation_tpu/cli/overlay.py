@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
 import numpy as np
 
 from pdac_pathological_image_segmentation_tpu.config import load_config

@@ -27,7 +27,7 @@ The per-chunk program (model forward + local scatter) and the finalize
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ with channels ``[64, 64, 128, 256, 512]`` for resnet18/34
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import flax.linen as nn
 import jax

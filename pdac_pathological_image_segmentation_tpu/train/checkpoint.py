@@ -15,10 +15,9 @@ the reference behavior.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from pdac_pathological_image_segmentation_tpu.train.state import TrainState

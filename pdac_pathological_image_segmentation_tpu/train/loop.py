@@ -62,7 +62,6 @@ from pdac_pathological_image_segmentation_tpu.train.schedule import (
     ReduceLROnPlateau,
 )
 from pdac_pathological_image_segmentation_tpu.train.state import (
-    TrainState,
     create_train_state,
 )
 from pdac_pathological_image_segmentation_tpu.utils.meters import EarlyStop
@@ -177,7 +176,8 @@ class Trainer:
     def _build_train_step(self):
         return make_train_step(self.model, self.cfg.img_size,
                                parity_mode=self.cfg.parity_mode,
-                               objective=self.objective)
+                               objective=self.objective,
+                               remat=bool(self.cfg.extras.get("remat")))
 
     def _build_eval_step(self):
         return make_eval_step(self.model, self.cfg.img_size,

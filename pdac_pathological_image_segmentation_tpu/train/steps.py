@@ -33,11 +33,27 @@ def _default_objective() -> Objective:
 
 
 def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
-                    donate: bool = True, objective: Objective | None = None):
+                    donate: bool = True, objective: Objective | None = None,
+                    remat: bool = False):
     """Returns jitted ``step(state, key, image_u8, mask_u8) →
     (new_state, loss, score)`` — the reference's per-batch body
-    (``train_worker.py:67-83``) as one fused program."""
+    (``train_worker.py:67-83``) as one fused program.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint``: the backward
+    pass recomputes activations instead of keeping them live, trading ~⅓
+    more FLOPs for O(params+inputs) activation memory — enables much larger
+    per-chip batches at 512² (config extra ``remat: true``)."""
     obj = objective or _default_objective()
+
+    def forward(params, batch_stats, imgs, k_drop):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"],
+            rngs={"dropout": k_drop},
+        )
+
+    if remat:
+        forward = jax.checkpoint(forward)
 
     def step(state: TrainState, key, image, mask):
         k_aug, k_drop = jax.random.split(key)
@@ -46,11 +62,7 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
         )
 
         def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop},
-            )
+            out, mutated = forward(params, state.batch_stats, imgs, k_drop)
             loss = obj.loss_fn(out, msks)
             return loss, (out, mutated["batch_stats"])
 

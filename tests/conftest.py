@@ -13,9 +13,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU collectives rendezvous on this 1-core VM can take >40s to gather
+# all 8 participants under load; the default terminate timeout turns that
+# into a hard abort(). Give the scheduler room instead.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

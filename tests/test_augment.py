@@ -103,3 +103,25 @@ def test_color_jitter_identity_when_factors_zero():
     out = color_jitter(jax.random.PRNGKey(3), img, brightness=0.0,
                        contrast=0.0, saturation=0.0, hue=0.0, p=1.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_parity_mode_jitters_after_normalize():
+    """parity_mode reproduces the reference quirk: ColorJitter runs on
+    already-normalized floats (train_main.py:73-75, SURVEY.md §5 #ordering);
+    default mode jitters on [0,1] pixels first.  With jitter forced on, the
+    two modes must differ, and parity-mode values are NOT clipped to the
+    normalized range of the default path."""
+    imgs, masks = _batch(2, 32)
+    key = jax.random.PRNGKey(7)
+    par_img, _ = train_transform(key, imgs, masks, img_size=32,
+                                 parity_mode=True)
+    def_img, _ = train_transform(key, imgs, masks, img_size=32,
+                                 parity_mode=False)
+    assert not np.allclose(np.asarray(par_img), np.asarray(def_img))
+
+
+def test_eval_transform_mask_multiclass_labels_preserved():
+    imgs = jnp.asarray(RNG.integers(0, 256, (2, 40, 40, 3)), jnp.uint8)
+    masks = jnp.asarray(RNG.integers(0, 5, (2, 40, 40)), jnp.uint8)
+    _, out_masks = eval_transform(imgs, masks, img_size=32)
+    assert set(np.unique(np.asarray(out_masks))).issubset(set(range(5)))

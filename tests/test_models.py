@@ -108,3 +108,24 @@ def test_folded_stem_matches_unfolded():
     for a, b in zip(f_fold, f_plain):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_backbone_builds():
+    """Bottleneck-block backbone path (cfg backbone choices, SURVEY C10)."""
+    cfg = Config(model="fpn", backbone="resnet50", img_size=SIZE,
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, SIZE, SIZE, 1)
+
+
+def test_resnet34_backbone_builds():
+    cfg = Config(model="pspnet", backbone="resnet34", img_size=SIZE,
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, SIZE, SIZE, 1)

@@ -96,3 +96,19 @@ def test_unetplusplus_contract(model_name):
     v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = model.apply(v, x, train=False)
     assert out.shape == (2, 64, 64, 1)
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint remat changes memory, not math."""
+    cfg = Config(model="unet", img_size=32, compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    image = jnp.asarray(RNG.integers(0, 256, (2, 32, 32, 3)), jnp.uint8)
+    mask = jnp.asarray(RNG.integers(0, 2, (2, 32, 32)), jnp.uint8)
+    key = jax.random.PRNGKey(5)
+    plain = make_train_step(model, 32, donate=False)
+    rem = make_train_step(model, 32, donate=False, remat=True)
+    _, loss_a, score_a = plain(state, key, image, mask)
+    _, loss_b, score_b = rem(state, key, image, mask)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    np.testing.assert_allclose(float(score_a), float(score_b), rtol=1e-5)
