@@ -60,7 +60,29 @@ class Evaluator:
         state = create_train_state(cfg, self.model, jax.random.PRNGKey(cfg.seed))
         state = jax.device_put(state, replicated_sharding(self.mesh))
 
-        if os.path.isdir(os.path.join(pth_path, "best")):
+        if os.path.isfile(pth_path) and pth_path.endswith((".pth", ".pt")):
+            # a reference-pipeline torch checkpoint (train_worker.py:116) —
+            # convert it on the fly (ResUNet only; the smp-built models have
+            # library-internal layouts we don't convert)
+            if cfg.model != "unet":
+                raise ValueError(
+                    "direct .pth loading is supported for model 'unet' "
+                    "(the reference's in-repo ResUNet); smp-based "
+                    "checkpoints are not convertible"
+                )
+            from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
+                load_reference_checkpoint,
+            )
+
+            params, batch_stats = load_reference_checkpoint(
+                pth_path, state.params, state.batch_stats
+            )
+            restored = (
+                state.replace(params=jax.device_put(params),
+                              batch_stats=jax.device_put(batch_stats)),
+                {"source": "reference_pth"},
+            )
+        elif os.path.isdir(os.path.join(pth_path, "best")):
             restored = restore_checkpoint(pth_path, state, name="best")
         elif os.path.isdir(os.path.join(pth_path, "latest")):
             restored = restore_checkpoint(pth_path, state, name="latest")

@@ -33,7 +33,7 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
         obj = obj["model"]  # reference checkpoint layout, train_worker.py:116
     out = {}
     for k, v in obj.items():
-        k = k.replace("module.", "").replace("encoder.", "")
+        k = k.replace("module.", "")  # DDP prefix strip (test.py:118-124)
         if hasattr(v, "numpy"):
             out[k] = v.detach().cpu().numpy()
     return out
@@ -113,4 +113,60 @@ def load_pretrained_encoder(
     path: str, params: Any, batch_stats: Any, encoder_key: str = "encoder"
 ) -> Tuple[Any, Any]:
     sd = _load_state_dict(path)
+    # accept either a bare torchvision ResNet state_dict or a full reference
+    # ResUNet checkpoint (whose encoder lives under "encoder.")
+    sd = {k[len("encoder."):] if k.startswith("encoder.") else k: v
+          for k, v in sd.items()}
     return convert_resnet_state_dict(sd, params, batch_stats, encoder_key)
+
+
+def convert_resunet_state_dict(
+    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any
+) -> Tuple[Any, Any]:
+    """Convert a FULL reference ResUNet state_dict (reference
+    ``models/resunet.py:7-22``: torchvision resnet18 under ``encoder.`` +
+    upconv1-3/conv1-4 decoder) into our flax ResUNet variables — so a
+    checkpoint trained with the reference pipeline evaluates directly in
+    this framework (the Dice-parity path).
+
+    Layout rules:
+    * encoder convs/BNs: OIHW→HWIO + running stats (see
+      :func:`convert_resnet_state_dict`);
+    * decoder ``ConvTranspose2d`` weights are (in, out, kH, kW) and flax
+      ``ConvTranspose`` uses **spatially flipped** taps in (kH, kW, in, out)
+      (pinned by ``tests/test_torch_parity.py``);
+    * plain decoder convs: OIHW→HWIO, bias as-is.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params, batch_stats = convert_resnet_state_dict(
+        enc_sd, params, batch_stats, encoder_key="encoder"
+    )
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    for name in ("upconv1", "upconv2", "upconv3"):
+        w = sd[f"{name}.weight"]  # (in, out, kH, kW)
+        params[name]["kernel"] = np.ascontiguousarray(
+            w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+        ).astype(np.float32)
+        params[name]["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        w = sd[f"{name}.weight"]  # O,I,H,W
+        params[name]["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(
+            np.float32
+        )
+        params[name]["bias"] = sd[f"{name}.bias"].astype(np.float32)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params, batch_stats
+
+
+def load_reference_checkpoint(path: str, params: Any, batch_stats: Any):
+    """Load a reference training checkpoint (``latest.pth``/``best.pth``
+    written by ``train_worker.py:116-125``: ``{"model": state_dict, ...}``
+    with DDP ``module.`` prefixes) into our ResUNet variables."""
+    sd = _load_state_dict(path)
+    return convert_resunet_state_dict(sd, params, batch_stats)
