@@ -46,10 +46,15 @@ from pdac_pathological_image_segmentation_tpu.ops.stitch import (
 
 
 class GridTiler:
-    """Sliding-window tiler over an in-memory H×W×3 uint8 slide."""
+    """Sliding-window tiler over an in-memory H×W×3 uint8 slide.
+
+    ``tissue_threshold > 0`` skips background tiles (tiles whose tissue
+    fraction per ``ops/tissue.py`` falls below the threshold) — the
+    tissue/background thresholding stage of the tiling pipeline."""
 
     def __init__(self, slide: np.ndarray, tile: int = 512,
-                 stride: Optional[int] = None) -> None:
+                 stride: Optional[int] = None,
+                 tissue_threshold: float = 0.0) -> None:
         assert slide.ndim == 3 and slide.shape[2] == 3
         self.slide = slide
         self.tile = tile
@@ -63,6 +68,16 @@ class GridTiler:
         if xs[-1] != w - tile and w > tile:
             xs.append(w - tile)
         self.coords = [(y, x) for y in ys for x in xs]
+        if tissue_threshold > 0.0:
+            from pdac_pathological_image_segmentation_tpu.ops.tissue import (
+                tissue_fraction_np,
+            )
+
+            self.coords = [
+                (y, x) for (y, x) in self.coords
+                if tissue_fraction_np(slide[y:y + tile, x:x + tile])
+                >= tissue_threshold
+            ]
         self.canvas_hw = (h, w)
 
     def __len__(self) -> int:

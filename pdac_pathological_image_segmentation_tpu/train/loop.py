@@ -177,7 +177,10 @@ class Trainer:
         return make_train_step(self.model, self.cfg.img_size,
                                parity_mode=self.cfg.parity_mode,
                                objective=self.objective,
-                               remat=bool(self.cfg.extras.get("remat")))
+                               remat=bool(self.cfg.extras.get("remat")),
+                               grad_accum_steps=int(
+                                   self.cfg.extras.get("grad_accum_steps", 1)
+                               ))
 
     def _build_eval_step(self):
         return make_eval_step(self.model, self.cfg.img_size,

@@ -34,7 +34,7 @@ def _default_objective() -> Objective:
 
 def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
                     donate: bool = True, objective: Objective | None = None,
-                    remat: bool = False):
+                    remat: bool = False, grad_accum_steps: int = 1):
     """Returns jitted ``step(state, key, image_u8, mask_u8) →
     (new_state, loss, score)`` — the reference's per-batch body
     (``train_worker.py:67-83``) as one fused program.
@@ -42,7 +42,16 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
     ``remat=True`` wraps the forward in ``jax.checkpoint``: the backward
     pass recomputes activations instead of keeping them live, trading ~⅓
     more FLOPs for O(params+inputs) activation memory — enables much larger
-    per-chip batches at 512² (config extra ``remat: true``)."""
+    per-chip batches at 512² (config extra ``remat: true``).
+
+    ``grad_accum_steps=k`` splits each batch into k microbatches scanned
+    sequentially (``lax.scan`` — one compiled body, no unrolling), averaging
+    gradients before a single Adam update (config extra
+    ``grad_accum_steps``).  Combined with ``remat`` this runs the
+    reference's global batch 128 at 512² within a single chip's HBM.  Note
+    the Dice objective is batch-global, so the accumulated loss is the mean
+    of per-microbatch Dice — a standard, slightly different estimator than
+    full-batch Dice; BN running stats update per microbatch (chained)."""
     obj = objective or _default_objective()
 
     def forward(params, batch_stats, imgs, k_drop):
@@ -55,23 +64,56 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
     if remat:
         forward = jax.checkpoint(forward)
 
+    def micro_grads(params, batch_stats, imgs, msks, k_drop):
+        def loss_fn(p):
+            out, mutated = forward(p, batch_stats, imgs, k_drop)
+            return obj.loss_fn(out, msks), (out, mutated["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # score on the pre-update forward (reference quirk #5,
+        # train_worker.py:72-76)
+        score = obj.score_fn(out, msks)
+        return grads, new_bs, loss, score
+
     def step(state: TrainState, key, image, mask):
         k_aug, k_drop = jax.random.split(key)
         imgs, msks = train_transform(
             k_aug, image, mask, img_size=img_size, parity_mode=parity_mode
         )
 
-        def loss_fn(params):
-            out, mutated = forward(params, state.batch_stats, imgs, k_drop)
-            loss = obj.loss_fn(out, msks)
-            return loss, (out, mutated["batch_stats"])
+        if grad_accum_steps <= 1:
+            grads, new_bs, loss, score = micro_grads(
+                state.params, state.batch_stats, imgs, msks, k_drop
+            )
+        else:
+            k = grad_accum_steps
+            b = imgs.shape[0]
+            assert b % k == 0, "batch must divide grad_accum_steps"
+            imgs_m = imgs.reshape(k, b // k, *imgs.shape[1:])
+            msks_m = msks.reshape(k, b // k, *msks.shape[1:])
+            keys_m = jax.random.split(k_drop, k)
 
-        (loss, (out, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        # score on the pre-update forward (reference quirk #5,
-        # train_worker.py:72-76)
-        score = obj.score_fn(out, msks)
+            def body(carry, inp):
+                bs, grad_sum, loss_sum, score_sum = carry
+                im, ms, kk = inp
+                g, bs, l, s = micro_grads(state.params, bs, im, ms, kk)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+                return (bs, grad_sum, loss_sum + l, score_sum + s), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (new_bs, grads, loss, score), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, 0.0, 0.0),
+                (imgs_m, msks_m, keys_m),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            loss = loss / k
+            score = score / k
+
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return new_state, loss, score
 

@@ -112,3 +112,24 @@ def test_remat_train_step_matches_plain():
     _, loss_b, score_b = rem(state, key, image, mask)
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
     np.testing.assert_allclose(float(score_a), float(score_b), rtol=1e-5)
+
+
+def test_grad_accum_step_runs_and_k1_matches_plain():
+    cfg = Config(model="unet", img_size=32, compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    image = jnp.asarray(RNG.integers(0, 256, (4, 32, 32, 3)), jnp.uint8)
+    mask = jnp.asarray(RNG.integers(0, 2, (4, 32, 32)), jnp.uint8)
+    key = jax.random.PRNGKey(9)
+    plain = make_train_step(model, 32, donate=False)
+    k1 = make_train_step(model, 32, donate=False, grad_accum_steps=1)
+    k2 = make_train_step(model, 32, donate=False, grad_accum_steps=2)
+    s_plain, loss_p, _ = plain(state, key, image, mask)
+    s_k1, loss_1, _ = k1(state, key, image, mask)
+    np.testing.assert_allclose(float(loss_p), float(loss_1), rtol=1e-6)
+    s_k2, loss_2, score_2 = k2(state, key, image, mask)
+    assert np.isfinite(float(loss_2)) and 0.0 <= float(score_2) <= 1.0
+    # params moved in both cases
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p2 = jax.tree_util.tree_leaves(s_k2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))

@@ -165,3 +165,34 @@ def test_pyhist_source_and_overlay(tmp_path, model_and_state):
     thumb = np.full((48, 72, 3), 255, np.uint8)
     out = overlay_figure(thumb, mask, str(tmp_path / "overlay.png"))
     assert os.path.exists(out)
+
+
+def test_tissue_thresholding_skips_background():
+    from pdac_pathological_image_segmentation_tpu.ops.tissue import (
+        tissue_fraction,
+        tissue_fraction_np,
+        tissue_mask_np,
+    )
+
+    rng = np.random.default_rng(0)
+    # left half: white background; right half: pink/purple tissue
+    slide = np.full((64, 128, 3), 248, np.uint8)
+    tissue = np.stack([
+        rng.integers(150, 220, (64, 64)),
+        rng.integers(60, 140, (64, 64)),
+        rng.integers(140, 200, (64, 64)),
+    ], axis=-1).astype(np.uint8)
+    slide[:, 64:] = tissue
+
+    assert tissue_fraction_np(slide[:, :64]) < 0.05
+    assert tissue_fraction_np(slide[:, 64:]) > 0.8
+    # jax/np agreement
+    fj = np.asarray(tissue_fraction(jnp.asarray(slide[None])))
+    np.testing.assert_allclose(fj[0], tissue_fraction_np(slide), atol=1e-3)
+    assert tissue_mask_np(slide).shape == (64, 128)
+
+    all_tiles = GridTiler(slide, tile=32, stride=32)
+    tissue_tiles = GridTiler(slide, tile=32, stride=32, tissue_threshold=0.5)
+    assert len(all_tiles) == 8
+    assert len(tissue_tiles) == 4  # only the right half survives
+    assert all(x >= 64 for (_, x) in tissue_tiles.coords)
