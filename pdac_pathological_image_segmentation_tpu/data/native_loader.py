@@ -14,6 +14,7 @@ pipeline never hard-depends on the native path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -25,24 +26,37 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libpngloader.so")
+# Portable codegen on purpose: a shipped/cached binary must not SIGILL on a
+# host lacking the build machine's ISA extensions (no -march=native).
+_BUILD_CMD = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared"]
 
 _lib = None
 _lib_lock = threading.Lock()
 _build_failed = False
 
 
-def _build() -> Optional[str]:
+def _lib_path() -> Optional[str]:
+    """Build-artifact path keyed by a hash of the source + compile flags, so
+    a stale binary can never shadow ``pngloader.cpp`` changes and we never
+    dlopen a binary we didn't build from the checked-in source."""
     src = os.path.join(_NATIVE_DIR, "pngloader.cpp")
     if not os.path.exists(src):
         return None
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(
+            f.read() + " ".join(_BUILD_CMD).encode()
+        ).hexdigest()[:12]
+    return os.path.join(_NATIVE_DIR, f"libpngloader-{digest}.so")
+
+
+def _build(lib_path: str) -> Optional[str]:
+    src = os.path.join(_NATIVE_DIR, "pngloader.cpp")
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o",
-             _LIB_PATH, src, "-lz", "-lpthread"],
+            _BUILD_CMD + ["-o", lib_path, src, "-lz", "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
-        return _LIB_PATH
+        return lib_path
     except Exception:
         return None
 
@@ -54,7 +68,9 @@ def _get_lib():
     with _lib_lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        path = _lib_path()
+        if path is not None and not os.path.exists(path):
+            path = _build(path)
         if path is None:
             _build_failed = True
             return None

@@ -200,6 +200,14 @@ class ResNetEncoder(nn.Module):
         for stage_idx, (ch, n_blocks, s) in enumerate(
             zip(base_channels, layers, stage_strides)
         ):
+            # Dilation semantics follow smp's replace_strides_with_dilation
+            # (the library the reference's DeepLabV3+ encoder actually goes
+            # through, ``train_worker.py:165-171``): every conv in a dilated
+            # stage gets the SAME rate, block 0 included.  torchvision's own
+            # ``previous_dilation`` convention is irrelevant for resnet18 —
+            # its BasicBlock raises on dilation > 1, so smp patches the convs
+            # uniformly instead.  Pinned by
+            # tests/test_torch_parity.py::test_dilated_stage_matches_smp_semantics.
             if s == 2:
                 if current_stride >= self.output_stride:
                     dilation *= 2

@@ -141,16 +141,12 @@ def macenko_stain_matrix(
 
     proj = od @ plane  # (N, 2)
     phi = jnp.arctan2(proj[:, 1], proj[:, 0])
-    # weighted percentile of angles over tissue pixels
-    big = 1e9
-    phi_masked = jnp.where(weight > 0, phi, big)
-    phi_lo = jnp.percentile(
-        jnp.where(weight > 0, phi, jnp.nan), alpha, method="nearest"
-    )
-    phi_hi = jnp.percentile(
-        jnp.where(weight > 0, phi, jnp.nan), 100.0 - alpha, method="nearest"
-    )
-    del phi_masked, big
+    # percentile of angles over tissue pixels only: background pixels are
+    # NaN-ed out and skipped via nanpercentile (plain percentile would
+    # propagate the NaNs and poison the whole basis)
+    phi_tissue = jnp.where(weight > 0, phi, jnp.nan)
+    phi_lo = jnp.nanpercentile(phi_tissue, alpha, method="nearest")
+    phi_hi = jnp.nanpercentile(phi_tissue, 100.0 - alpha, method="nearest")
     v1 = plane @ jnp.stack([jnp.cos(phi_lo), jnp.sin(phi_lo)])
     v2 = plane @ jnp.stack([jnp.cos(phi_hi), jnp.sin(phi_hi)])
     v1 = v1 * jnp.sign(jnp.sum(v1) + _EPS)

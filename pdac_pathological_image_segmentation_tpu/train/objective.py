@@ -82,11 +82,31 @@ def make_objective(cfg: Config) -> Objective:
             loss_fn = _binary_dice_loss
         elif loss_name in ("dice_ce", "dice+ce"):
             def loss_fn(logits, masks, valid=None):
-                logits1 = _vmask(logits[..., 0].astype(jnp.float32), valid)
-                masks1 = _vmask(masks.astype(jnp.float32), valid)
-                return weighted_dice_ce_loss(
-                    logits1, masks1, dice_weight=dice_w, ce_weight=ce_w
+                logits1 = logits[..., 0].astype(jnp.float32)
+                masks1 = masks.astype(jnp.float32)
+                if valid is None:
+                    return weighted_dice_ce_loss(
+                        logits1, masks1, dice_weight=dice_w, ce_weight=ce_w
+                    )
+                # Mask *after* the sigmoid (masking logits would make padded
+                # samples contribute sigmoid(0)=0.5 per pixel to the Dice
+                # denominator and log(2) per pixel to BCE) and average BCE
+                # over valid pixels only — mirrors _binary_dice_loss.
+                probs = _vmask(jax.nn.sigmoid(logits1), valid)
+                tgt = _vmask(masks1, valid)
+                inter = jnp.sum(probs * tgt)
+                d = 1.0 - (2.0 * inter + SMOOTH) / (
+                    jnp.sum(probs) + jnp.sum(tgt) + SMOOTH
                 )
+                per_px = (jnp.maximum(logits1, 0) - logits1 * masks1
+                          + jnp.log1p(jnp.exp(-jnp.abs(logits1))))
+                per_px = _vmask(per_px, valid)
+                px_per_sample = float(per_px[0].size)
+                n_valid_px = jnp.maximum(
+                    jnp.sum(valid.astype(jnp.float32)), 1.0
+                ) * px_per_sample
+                bce = jnp.sum(per_px) / n_valid_px
+                return dice_w * d + ce_w * bce
         else:
             raise ValueError(f"unknown loss {loss_name!r}")
 
@@ -98,18 +118,42 @@ def make_objective(cfg: Config) -> Objective:
 
     # multi-class: always Dice(+CE)
     def loss_fn(logits, masks, valid=None):
-        logits = _vmask(logits.astype(jnp.float32), valid)
+        logits = logits.astype(jnp.float32)
         masks = masks.astype(jnp.int32)
-        if valid is not None:
-            masks = masks * valid.astype(jnp.int32).reshape(
-                (masks.shape[0],) + (1,) * (masks.ndim - 1)
+        d_w = dice_w if loss_name != "dice" else 1.0
+        c_w = ce_w if loss_name != "dice" else 0.0
+        if valid is None:
+            return weighted_dice_ce_loss(
+                logits, masks, dice_weight=d_w, ce_weight=c_w,
+                class_weights=class_weights,
             )
-        return weighted_dice_ce_loss(
-            logits, masks,
-            dice_weight=dice_w if loss_name != "dice" else 1.0,
-            ce_weight=ce_w if loss_name != "dice" else 0.0,
-            class_weights=class_weights,
+        # Mask probabilities/per-pixel CE after the softmax (masking logits
+        # would give padded samples a uniform softmax that biases both the
+        # per-class Dice denominators and the CE mean).
+        num_classes = logits.shape[-1]
+        onehot = _vmask(
+            jax.nn.one_hot(masks, num_classes, dtype=jnp.float32), valid
         )
+        probs = _vmask(jax.nn.softmax(logits, axis=-1), valid)
+        p = probs.reshape(-1, num_classes)
+        t = onehot.reshape(-1, num_classes)
+        inter = jnp.sum(p * t, axis=0)
+        denom = jnp.sum(p, axis=0) + jnp.sum(t, axis=0)
+        dice_per_class = (2.0 * inter + SMOOTH) / (denom + SMOOTH)
+        log_p = jax.nn.log_softmax(logits).reshape(-1, num_classes)
+        if class_weights is not None:
+            w = class_weights / jnp.sum(class_weights)
+            dice = jnp.sum(dice_per_class * w)
+            per_px = -jnp.sum(t * log_p * w, axis=-1)
+        else:
+            dice = jnp.mean(dice_per_class)
+            per_px = -jnp.sum(t * log_p, axis=-1)
+        px_per_sample = float(masks[0].size)
+        n_valid_px = jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)), 1.0
+        ) * px_per_sample
+        ce = jnp.sum(per_px) / n_valid_px
+        return d_w * (1.0 - dice) + c_w * ce
 
     def predict_fn(logits):
         return jnp.argmax(logits.astype(jnp.float32), axis=-1)

@@ -48,6 +48,33 @@ def test_binary_dice_ce_objective():
     assert np.isfinite(float(obj.loss_fn(logits, masks)))
 
 
+def test_binary_dice_ce_valid_mask_matches_valid_subset():
+    """Regression: padded samples must not contribute sigmoid(0)=0.5 Dice
+    mass or log(2) BCE — the masked loss over [valid, padded] must equal the
+    unmasked loss over just the valid samples."""
+    cfg = Config.from_dict({"model": "unet", "loss": "dice_ce",
+                            "dice_weight": 0.7, "ce_weight": 0.3})
+    obj = make_objective(cfg)
+    logits = jnp.asarray(RNG.normal(size=(4, 8, 8, 1)), jnp.float32)
+    masks = jnp.asarray(RNG.integers(0, 2, (4, 8, 8)), jnp.float32)
+    valid = jnp.asarray([True, True, False, False])
+    masked = float(obj.loss_fn(logits, masks, valid))
+    subset = float(obj.loss_fn(logits[:2], masks[:2]))
+    np.testing.assert_allclose(masked, subset, rtol=1e-6)
+
+
+def test_multiclass_dice_ce_valid_mask_matches_valid_subset():
+    cfg = Config.from_dict({"model": "unet", "num_classes": 3,
+                            "loss": "dice_ce"})
+    obj = make_objective(cfg)
+    logits = jnp.asarray(RNG.normal(size=(4, 8, 8, 3)), jnp.float32)
+    masks = jnp.asarray(RNG.integers(0, 3, (4, 8, 8)))
+    valid = jnp.asarray([True, True, True, False])
+    masked = float(obj.loss_fn(logits, masks, valid))
+    subset = float(obj.loss_fn(logits[:3], masks[:3]))
+    np.testing.assert_allclose(masked, subset, rtol=1e-6)
+
+
 def test_multiclass_objective_perfect_prediction():
     cfg = Config(model="unet", num_classes=3)
     obj = make_objective(cfg)

@@ -57,6 +57,27 @@ def test_macenko_normalize_identity_when_source_is_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
 
 
+def test_macenko_beta_mask_with_background_pixels():
+    """Regression: background pixels (norm(OD) <= beta — present in
+    virtually every real H&E tile) are NaN-ed out of the angle percentiles;
+    plain percentile would propagate them and poison the whole basis."""
+    rng = np.random.default_rng(7)
+    img = np.array(_synthetic_he(rng))
+    # paste in a white-ish background region (low optical density)
+    img[:16] = rng.uniform(0.97, 1.0, size=(16, 64, 3))
+    img = jnp.asarray(img, jnp.float32)
+    est = macenko_stain_matrix(img, beta_mask=True)
+    assert np.isfinite(np.asarray(est.basis)).all()
+    assert np.isfinite(np.asarray(est.max_conc)).all()
+    ref = np.asarray(REFERENCE_STAIN_BASIS)
+    got = np.asarray(est.basis)
+    for c in range(2):
+        cos = abs(float(got[:, c] @ ref[:, c]))
+        assert cos > 0.97, f"stain column {c}: cos={cos}"
+    out = macenko_normalize(img, est)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_macenko_normalize_maps_shifted_stain_to_reference():
     rng = np.random.default_rng(3)
     # a "different scanner": perturbed basis

@@ -206,6 +206,72 @@ def test_basicblock_matches_torch_composite():
     np.testing.assert_allclose(_to_nchw(out), ref, rtol=5e-4, atol=5e-5)
 
 
+def test_dilated_stage_matches_smp_semantics():
+    """output_stride<32 parity target is smp's replace_strides_with_dilation
+    (the path the reference's DeepLabV3+ encoder goes through): EVERY conv in
+    the dilated stage gets the same rate — block 0 included — with stride 1
+    and padding (k//2)*rate.  (torchvision's previous_dilation convention
+    doesn't apply: its BasicBlock raises on dilation > 1.)"""
+    rate = 2
+    x = RNG.normal(size=(1, 8, 16, 16)).astype(np.float32)
+
+    class SmpPatchedStage(torch.nn.Module):
+        """layer-N twin after smp's make_dilated patch."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(8, 16, 3, stride=1, padding=rate,
+                                         dilation=rate, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(16, eps=BN_EPS)
+            self.conv2 = torch.nn.Conv2d(16, 16, 3, stride=1, padding=rate,
+                                         dilation=rate, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(16, eps=BN_EPS)
+            self.down = torch.nn.Conv2d(8, 16, 1, stride=1, bias=False)
+            self.down_bn = torch.nn.BatchNorm2d(16, eps=BN_EPS)
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + self.down_bn(self.down(x)))
+
+    tb = SmpPatchedStage().eval()
+    with torch.no_grad():
+        for bn in (tb.bn1, tb.bn2, tb.down_bn):
+            bn.running_mean.copy_(torch.randn(16) * 0.1)
+            bn.running_var.copy_(torch.rand(16) + 0.5)
+        ref = tb(torch.as_tensor(x)).numpy()
+
+    def conv_w(t):
+        return jnp.asarray(t.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    def bn_vars(t):
+        return (
+            {"scale": jnp.asarray(t.weight.detach().numpy()),
+             "bias": jnp.asarray(t.bias.detach().numpy())},
+            {"mean": jnp.asarray(t.running_mean.numpy()),
+             "var": jnp.asarray(t.running_var.numpy())},
+        )
+
+    p1, s1 = bn_vars(tb.bn1)
+    p2, s2 = bn_vars(tb.bn2)
+    pd, sd_ = bn_vars(tb.down_bn)
+    variables = {
+        "params": {
+            "conv1": {"kernel": conv_w(tb.conv1)},
+            "bn1": p1,
+            "conv2": {"kernel": conv_w(tb.conv2)},
+            "bn2": p2,
+            "downsample_conv": {"kernel": conv_w(tb.down)},
+            "downsample_bn": pd,
+        },
+        "batch_stats": {"bn1": s1, "bn2": s2, "downsample_bn": sd_},
+    }
+    # our dilated stage block: strides=1 (converted), uniform dilation
+    block = BasicBlock(channels=16, strides=1, dilation=rate)
+    out = block.apply(variables, _nhwc(x), train=False)
+    np.testing.assert_allclose(_to_nchw(out), ref, rtol=5e-4, atol=5e-5)
+
+
 def test_weight_converter_roundtrip():
     """convert_resnet_state_dict grafts a synthetic torch resnet18
     state_dict into the flax encoder and the stem conv output matches."""
