@@ -70,7 +70,9 @@ def main(argv=None) -> dict:
     os.makedirs(args.save_path, exist_ok=True)
 
     evaluator = Evaluator(cfg, args.pth_path)
-    source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path, tile=cfg.img_size)
+    source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path, tile=cfg.img_size,
+                              tissue_threshold=cfg.tissue_threshold,
+                              num_workers=cfg.num_worker)
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
             ShardedSlidingWindow,
@@ -82,13 +84,13 @@ def main(argv=None) -> dict:
             batch_per_device=max(
                 1, max(cfg.batch_size, 8) // evaluator.mesh.devices.size
             ),
-            tta=args.tta, blend=args.blend,
+            tta=args.tta, blend=args.blend, stain=cfg.stain,
         )
     else:
         runner = SlidingWindowInference(
             evaluator.model, evaluator.state, tile=cfg.img_size,
             batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
-            num_workers=cfg.num_worker,
+            num_workers=cfg.num_worker, stain=cfg.stain,
         )
     prob, mask = runner.run(source)
 

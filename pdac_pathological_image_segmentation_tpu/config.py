@@ -97,6 +97,15 @@ class Config:
     num_devices: Optional[int] = None
     # use Pallas kernels where they beat plain XLA
     use_pallas: bool = True
+    # H&E stain normalization applied on-device before ImageNet
+    # normalization in every pipeline (train/eval/WSI): "none" (reference
+    # behavior), "reinhard" (LAB statistics matching) or "macenko"
+    # (per-image stain-basis remap onto the canonical H&E basis).
+    # BASELINE config #2's fused-preprocessing hook; see ops/stain.py.
+    stain: str = "none"
+    # skip tiles whose tissue fraction (ops/tissue.py) falls below this in
+    # the WSI tile sources (GridTiler / PyHISTTileSource); 0 keeps all.
+    tissue_threshold: float = 0.0
 
     extras: dict = dataclasses.field(default_factory=dict)
 
@@ -116,6 +125,13 @@ class Config:
             raise ValueError("img_size must be >= 32")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError("compute_dtype must be float32 or bfloat16")
+        self.stain = str(self.stain).lower()
+        if self.stain not in ("none", "reinhard", "macenko"):
+            raise ValueError(
+                f"stain must be none, reinhard or macenko, got {self.stain!r}"
+            )
+        if not 0.0 <= float(self.tissue_threshold) <= 1.0:
+            raise ValueError("tissue_threshold must be in [0, 1]")
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "Config":

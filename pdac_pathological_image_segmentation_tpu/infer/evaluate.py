@@ -62,20 +62,14 @@ class Evaluator:
 
         if os.path.isfile(pth_path) and pth_path.endswith((".pth", ".pt")):
             # a reference-pipeline torch checkpoint (train_worker.py:116) —
-            # convert it on the fly (ResUNet only; the smp-built models have
-            # library-internal layouts we don't convert)
-            if cfg.model != "unet":
-                raise ValueError(
-                    "direct .pth loading is supported for model 'unet' "
-                    "(the reference's in-repo ResUNet); smp-based "
-                    "checkpoints are not convertible"
-                )
+            # convert it on the fly: 'unet' (in-repo ResUNet) and 'fpn'
+            # (smp layout, the reference's default config)
             from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
-                load_reference_checkpoint,
+                load_reference_model_checkpoint,
             )
 
-            params, batch_stats = load_reference_checkpoint(
-                pth_path, state.params, state.batch_stats
+            params, batch_stats = load_reference_model_checkpoint(
+                pth_path, cfg.model, state.params, state.batch_stats
             )
             restored = (
                 state.replace(params=jax.device_put(params),
@@ -99,10 +93,12 @@ class Evaluator:
         obj = self.objective
         dtype = getattr(model, "dtype", None) or jnp.float32
 
+        stain = cfg.stain
+
         @jax.jit
         def step(state, image, mask, valid):
             imgs, msks = eval_transform(image, mask, img_size=img_size,
-                                        dtype=dtype)
+                                        dtype=dtype, stain=stain)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 imgs, train=False,

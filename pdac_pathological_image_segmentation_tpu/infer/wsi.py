@@ -56,10 +56,20 @@ class GridTiler:
                  stride: Optional[int] = None,
                  tissue_threshold: float = 0.0) -> None:
         assert slide.ndim == 3 and slide.shape[2] == 3
-        self.slide = slide
         self.tile = tile
         self.stride = stride or tile
+        self.orig_hw = tuple(slide.shape[:2])
         h, w = slide.shape[:2]
+        if h < tile or w < tile:
+            # slides smaller than one tile: edge-pad up to the tile so every
+            # emitted tile has the static (tile, tile, 3) shape the compiled
+            # infer step expects; the runner crops the canvas back to
+            # ``orig_hw``
+            pad_h, pad_w = max(tile - h, 0), max(tile - w, 0)
+            slide = np.pad(slide, ((0, pad_h), (0, pad_w), (0, 0)),
+                           mode="edge")
+            h, w = slide.shape[:2]
+        self.slide = slide
         ys = list(range(0, max(h - tile, 0) + 1, self.stride))
         xs = list(range(0, max(w - tile, 0) + 1, self.stride))
         # make sure the right/bottom edges are covered
@@ -95,7 +105,9 @@ class PyHISTTileSource:
     ``configs/visualize_config.yaml:6-9``)."""
 
     def __init__(self, tile_dir: str, tsv_path: str, tile: int = 512,
-                 keep_only: bool = True) -> None:
+                 keep_only: bool = True,
+                 tissue_threshold: float = 0.0,
+                 num_workers: int = 8) -> None:
         self.tile_dir = tile_dir
         self.tile = tile
         self.entries: List[Tuple[str, int, int]] = []
@@ -111,16 +123,33 @@ class PyHISTTileSource:
                 max_row, max_col = max(max_row, r), max(max_col, c)
                 self.entries.append((name, r, c))
         self.canvas_hw = ((max_row + 1) * tile, (max_col + 1) * tile)
+        if tissue_threshold > 0.0 and self.entries:
+            # same keep/skip stage as GridTiler: decode once (threaded) and
+            # drop background tiles below the tissue fraction threshold
+            from pdac_pathological_image_segmentation_tpu.ops.tissue import (
+                tissue_fraction_np,
+            )
+
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                fracs = list(pool.map(
+                    lambda e: tissue_fraction_np(self._decode(e[0])),
+                    self.entries,
+                ))
+            self.entries = [e for e, f in zip(self.entries, fracs)
+                            if f >= tissue_threshold]
 
     def __len__(self) -> int:
         return len(self.entries)
 
-    def get(self, i: int) -> Tuple[np.ndarray, Tuple[int, int]]:
-        name, r, c = self.entries[i]
+    def _decode(self, name: str) -> np.ndarray:
         path = os.path.join(self.tile_dir, name)
         if not os.path.exists(path) and not name.endswith(".png"):
             path = path + ".png"
-        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+        return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+    def get(self, i: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+        name, r, c = self.entries[i]
+        img = self._decode(name)
         return img, (r * self.tile, c * self.tile)
 
 
@@ -162,7 +191,7 @@ class SlidingWindowInference:
 
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  tta: bool = False, blend: str = "hann",
-                 num_workers: int = 8) -> None:
+                 num_workers: int = 8, stain: str = "none") -> None:
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -171,7 +200,9 @@ class SlidingWindowInference:
         self.tile = tile
         self.batch_size = batch_size
         self.blend = blend
-        self._infer = _make_tta_infer(make_infer_step(model, tile), tta)
+        self._infer = _make_tta_infer(
+            make_infer_step(model, tile, stain=stain), tta
+        )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def _batches(self, source) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -202,7 +233,11 @@ class SlidingWindowInference:
         if accum is None:
             raise ValueError("tile source is empty")
         prob, mask = finalize_canvas(accum, weight)
-        return np.asarray(jax.device_get(prob)), np.asarray(jax.device_get(mask))
+        prob = np.asarray(jax.device_get(prob))
+        mask = np.asarray(jax.device_get(mask))
+        # crop back any tiler padding (slides smaller than one tile)
+        oh, ow = getattr(source, "orig_hw", prob.shape[:2])
+        return prob[:oh, :ow], mask[:oh, :ow]
 
 
 def overlay_figure(

@@ -65,7 +65,7 @@ class ShardedSlidingWindow:
 
     def __init__(self, model, state, mesh: Mesh, tile: int = 512,
                  batch_per_device: int = 8, blend: str = "hann",
-                 tta: bool = False) -> None:
+                 tta: bool = False, stain: str = "none") -> None:
         from pdac_pathological_image_segmentation_tpu.infer.wsi import (
             _make_tta_infer,
         )
@@ -80,7 +80,7 @@ class ShardedSlidingWindow:
         self.blend = blend
         self.state = state
         # raw (unjitted) tile→probs fn; it is traced inside the shard_map
-        raw_infer = make_infer_step(model, tile)
+        raw_infer = make_infer_step(model, tile, stain=stain)
         self._infer = _make_tta_infer(raw_infer, tta)
 
     # ------------------------------------------------------------------
@@ -208,4 +208,7 @@ class ShardedSlidingWindow:
         weight_full = weight_h.reshape(d * band_h, w)[:h]
         prob = np.where(weight_full > 0,
                         accum_full / np.maximum(weight_full, 1e-12), 0.0)
+        # crop back any tiler padding (slides smaller than one tile)
+        oh, ow = getattr(source, "orig_hw", prob.shape[:2])
+        prob = prob[:oh, :ow]
         return prob.astype(np.float32), (prob >= 0.5).astype(np.uint8)

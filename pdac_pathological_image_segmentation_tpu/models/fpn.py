@@ -37,6 +37,9 @@ class _GNReLU(nn.Module):
     num_groups: int = 32
     use_pallas: bool = True
     dtype: Any = jnp.float32
+    # torch nn.GroupNorm default (what smp's Conv3x3GNReLU uses) — parity
+    # with reference-trained FPN checkpoints
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -50,13 +53,13 @@ class _GNReLU(nn.Module):
             )
 
             return group_norm_relu(x, scale, bias,
-                                   num_groups=self.num_groups)
+                                   num_groups=self.num_groups, eps=self.eps)
         from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
             xla_group_norm_relu,
         )
 
         return xla_group_norm_relu(x, scale, bias,
-                                   num_groups=self.num_groups)
+                                   num_groups=self.num_groups, eps=self.eps)
 
 
 class _Conv3x3GNReLU(nn.Module):
@@ -115,9 +118,14 @@ class FPN(nn.Module):
             outs.append(y)
         y = sum(outs)
 
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        # smp uses Dropout2d (whole-channel dropout) — broadcast over H,W
+        y = nn.Dropout(self.dropout, deterministic=not train,
+                       broadcast_dims=(1, 2))(y)
         y = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
                     name="head")(y)
+        # smp SegmentationHead upsamples with nn.UpsamplingBilinear2d —
+        # align_corners=True (unlike the ResUNet's interpolate(...,
+        # align_corners=False))
         y = resize_bilinear(y.astype(jnp.float32), self.output_size,
-                            self.output_size)
+                            self.output_size, align_corners=True)
         return y

@@ -29,6 +29,36 @@ from pdac_pathological_image_segmentation_tpu.models.resnet import ResNetEncoder
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
 
+class PointwiseHead(nn.Module):
+    """1×1 conv head computed as an einsum over the channel axis.
+
+    Parameter tree is identical to ``nn.Conv(features, (1, 1))`` (``kernel``
+    (1,1,C,F) + ``bias`` (F,)), so checkpoints and the reference ``.pth``
+    converter are unaffected.  The payoff is the ``features == 1`` case (the
+    reference's binary head): an NHWC conv writing C=1 puts the channel in
+    the 128-lane minormost tile position — 127/128 of the output writes are
+    padding (measured 8.2 ms/step of a 112 ms ResUNet inference step at
+    bs=512 on v5e).  The einsum emits a dense N,H,W tensor instead.
+    """
+
+    features: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel[0, 0].astype(self.dtype)  # (C, F)
+        b = bias.astype(self.dtype)
+        if self.features == 1:
+            return jnp.einsum("nhwc,c->nhw", x, k[:, 0]) + b[0]  # N,H,W
+        return jnp.einsum("nhwc,cf->nhwf", x, k) + b
+
+
 class ResUNet(nn.Module):
     num_classes: int = 1
     output_size: int = 512
@@ -46,7 +76,7 @@ class ResUNet(nn.Module):
         self.upconv3 = nn.ConvTranspose(64, (2, 2), strides=(2, 2),
                                         padding="VALID", dtype=self.dtype)
         self.conv3 = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)
-        self.conv4 = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)
+        self.conv4 = PointwiseHead(self.num_classes, dtype=self.dtype)
 
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Encoder + decoder up to (excluding) the 1×1 head: N,H/4,W/4,64."""
@@ -68,6 +98,8 @@ class ResUNet(nn.Module):
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         y = self.conv4(self.features(x, train=train))
+        if self.num_classes == 1:
+            y = y[..., None]  # dense N,H,W from the head → N,H,W,1 (free)
         # single 4× bilinear upsample, align_corners=False semantics
         y = resize_bilinear(y.astype(jnp.float32), self.output_size,
                             self.output_size)

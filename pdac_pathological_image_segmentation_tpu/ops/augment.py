@@ -195,21 +195,33 @@ def one_of_flip_rot(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("img_size", "parity_mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("img_size", "parity_mode", "stain"))
 def train_transform(
     key: jax.Array,
     images: jax.Array,  # N,H,W,3 uint8
     masks: jax.Array,  # N,H,W  uint8/int
     img_size: int,
     parity_mode: bool = False,
+    stain: str = "none",
 ) -> Tuple[jax.Array, jax.Array]:
     """Reference train pipeline (``train_main.py:70-81``), fused on device.
+
+    ``stain`` ∈ {none, reinhard, macenko}: optional per-image H&E stain
+    normalization on [0,1] pixels before everything else (framework
+    extension, BASELINE config #2; the reference has none).
 
     Returns float32 normalized images (N,S,S,3) and float32 binary masks
     (N,S,S).
     """
     images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
     masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
+    if stain != "none":
+        from pdac_pathological_image_segmentation_tpu.ops.stain import (
+            apply_stain_batch,
+        )
+
+        images = apply_stain_batch(images / 255.0, stain) * 255.0
 
     keys = jax.random.split(key, images.shape[0] * 2).reshape(images.shape[0], 2, -1)
 
@@ -228,17 +240,27 @@ def train_transform(
     return imgs, masks
 
 
-@functools.partial(jax.jit, static_argnames=("img_size", "dtype"))
+@functools.partial(jax.jit, static_argnames=("img_size", "dtype", "stain"))
 def eval_transform(
     images: jax.Array, masks: jax.Array, img_size: int,
     dtype: jnp.dtype = jnp.float32,
+    stain: str = "none",
 ) -> Tuple[jax.Array, jax.Array]:
     """Reference val/test pipeline (``train_main.py:82-88``, ``test.py:62-68``):
-    Resize → Normalize only.  ``dtype`` controls the normalize output (pass
-    the model compute dtype to keep the hot path in bf16 end-to-end; the
-    common img_size==input case skips the resize entirely, so uint8 patches
-    normalize straight into bf16)."""
+    Resize → Normalize only (plus the optional ``stain`` normalization hook,
+    same semantics as :func:`train_transform`).  ``dtype`` controls the
+    normalize output (pass the model compute dtype to keep the hot path in
+    bf16 end-to-end; the common img_size==input case skips the resize
+    entirely, so uint8 patches normalize straight into bf16)."""
     if images.shape[1] != img_size or images.shape[2] != img_size:
         images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
     masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
+    if stain != "none":
+        from pdac_pathological_image_segmentation_tpu.ops.stain import (
+            apply_stain_batch,
+        )
+
+        images = apply_stain_batch(
+            images.astype(jnp.float32) / 255.0, stain
+        ) * 255.0
     return normalize(images, dtype=dtype), masks

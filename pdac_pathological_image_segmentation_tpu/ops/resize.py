@@ -22,15 +22,22 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=128)
-def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """Dense (out_size, in_size) interpolation matrix, half-pixel centers,
-    edge-clamped, no antialiasing (== torch align_corners=False ==
-    cv2.INTER_LINEAR)."""
+def _bilinear_matrix(in_size: int, out_size: int,
+                     align_corners: bool = False) -> np.ndarray:
+    """Dense (out_size, in_size) interpolation matrix, edge-clamped, no
+    antialiasing.  ``align_corners=False``: half-pixel centers (torch
+    ``interpolate(align_corners=False)`` == cv2.INTER_LINEAR).
+    ``align_corners=True``: corner-aligned (torch ``UpsamplingBilinear2d`` —
+    what smp's SegmentationHead uses)."""
     if in_size == out_size:
         return np.eye(in_size, dtype=np.float32)
-    scale = in_size / out_size
     out_idx = np.arange(out_size, dtype=np.float64)
-    src = (out_idx + 0.5) * scale - 0.5
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = out_idx * scale
+    else:
+        scale = in_size / out_size
+        src = (out_idx + 0.5) * scale - 0.5
     src = np.clip(src, 0.0, in_size - 1)
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, in_size - 1)
@@ -52,7 +59,8 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(src, 0, in_size - 1)
 
 
-def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def resize_bilinear(x: jax.Array, out_h: int, out_w: int,
+                    align_corners: bool = False) -> jax.Array:
     """Bilinear resize on NHWC (or HWC / NHW / HW) arrays.
 
     Computed in float32 and cast back; the two einsums contract the spatial
@@ -72,8 +80,8 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     if (in_h, in_w) == (out_h, out_w):
         out = x
     else:
-        mh = jnp.asarray(_bilinear_matrix(in_h, out_h))
-        mw = jnp.asarray(_bilinear_matrix(in_w, out_w))
+        mh = jnp.asarray(_bilinear_matrix(in_h, out_h, align_corners))
+        mw = jnp.asarray(_bilinear_matrix(in_w, out_w, align_corners))
         xf = x.astype(jnp.float32)
         out = jnp.einsum("oh,nhwc->nowc", mh, xf, precision=jax.lax.Precision.HIGHEST)
         out = jnp.einsum("pw,nhwc->nhpc", mw, out, precision=jax.lax.Precision.HIGHEST)

@@ -99,6 +99,51 @@ def reinhard_normalize(
     return _lab_to_rgb(lab)
 
 
+@functools.lru_cache(maxsize=1)
+def reference_lab_stats() -> "LabStats":
+    """LAB statistics of a canonical synthetic H&E tile generated from the
+    reference stain basis via Beer-Lambert over a dense concentration grid —
+    a deterministic, dependency-free Reinhard target when no reference slide
+    is fitted (fit a real one with :func:`lab_stats` for production use).
+
+    Computed (and cached) in pure numpy: this may be first called inside a
+    jit trace, where any jnp op would stage into the trace and poison the
+    cache with tracers."""
+    import numpy as np
+
+    max_conc = np.asarray(REFERENCE_MAX_CONC)
+    c = np.linspace(0.05, 1.0, 64)
+    g1, g2 = np.meshgrid(c * max_conc[0], c * max_conc[1])
+    conc = np.stack([g1.ravel(), g2.ravel()])  # (2, N)
+    od = np.asarray(REFERENCE_STAIN_BASIS) @ conc
+    rgb = np.power(10.0, -od).T.astype(np.float64)  # (N, 3)
+    lms = rgb @ np.asarray(_RGB2LMS).T
+    lab = np.log10(np.maximum(lms, _EPS)) @ np.asarray(_LMS2LAB_A).T
+    return LabStats(
+        lab.mean(axis=0).astype(np.float32),
+        (lab.std(axis=0) + _EPS).astype(np.float32),
+    )
+
+
+def apply_stain_batch(imgs01: jax.Array, method: str) -> jax.Array:
+    """Per-image stain normalization of a batch of [0,1] RGB images.
+
+    ``method`` ∈ {"none", "reinhard", "macenko"} — the config hook wired
+    into the fused train/eval/WSI preprocessing (``ops/augment.py``)."""
+    if method in (None, "none", ""):
+        return imgs01
+    if method == "reinhard":
+        target = reference_lab_stats()
+        return jax.vmap(lambda im: reinhard_normalize(im, target))(imgs01)
+    if method == "macenko":
+        def f(im):
+            basis = macenko_stain_matrix(im)
+            return macenko_normalize(im, basis)
+
+        return jax.vmap(f)(imgs01)
+    raise ValueError(f"unknown stain method {method!r}")
+
+
 # ---------------------------------------------------------------------------
 # Macenko
 # ---------------------------------------------------------------------------

@@ -147,9 +147,13 @@ class Trainer:
         # replicate state over the mesh
         self.state = jax.device_put(state, self.repl_sharding)
 
+        # keep the final partial batch (reference DataLoader default
+        # drop_last=False, train_worker.py:218-225): wrap-pad to the static
+        # batch shape and mask padded samples out of loss/score via
+        # ``batch.valid``
         self.train_loader = PatchLoader(
             train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_worker,
-            drop_last=True, sharding=self.data_sharding,
+            drop_last=False, sharding=self.data_sharding,
         )
         self.val_loader = PatchLoader(
             val_set, cfg.batch_size, shuffle=False, num_workers=cfg.num_worker,
@@ -180,11 +184,13 @@ class Trainer:
                                remat=bool(self.cfg.extras.get("remat")),
                                grad_accum_steps=int(
                                    self.cfg.extras.get("grad_accum_steps", 1)
-                               ))
+                               ),
+                               stain=self.cfg.stain)
 
     def _build_eval_step(self):
         return make_eval_step(self.model, self.cfg.img_size,
-                              objective=self.objective)
+                              objective=self.objective,
+                              stain=self.cfg.stain)
 
     # ------------------------------------------------------------------ loops
 
@@ -207,6 +213,20 @@ class Trainer:
         previous_best = 0.0
 
         restored = restore_checkpoint(self.pth_path, self.state)
+        if restored is None:
+            # reference-pipeline resume contract: a torch latest.pth in the
+            # pth dir (train_worker.py:186-201) — convert weights, BN stats
+            # AND Adam moments so optimization continues warm
+            ref_pth = os.path.join(self.pth_path, "latest.pth")
+            if os.path.isfile(ref_pth) and self.cfg.model == "unet":
+                from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
+                    load_reference_checkpoint_full,
+                )
+
+                state, meta = load_reference_checkpoint_full(
+                    ref_pth, jax.device_get(self.state)
+                )
+                restored = (jax.device_put(state, self.repl_sharding), meta)
         if restored is not None:
             self.state, meta = restored
             start_epoch = int(meta["epoch"]) + 1
@@ -214,13 +234,18 @@ class Trainer:
                 previous_best = 0.0  # reference quirk: best resets on resume
             else:
                 previous_best = float(meta["previous_best"])
-                self.scheduler.load_state_dict(meta["scheduler"])
-                es = dict(meta["earlystop"])
-                if es.get("best_score") is not None and math.isnan(
-                    float(es["best_score"])
-                ):
-                    es["best_score"] = None
-                self.early_stopping.load_state_dict(es)
+                # scheduler/earlystop state exist in our own checkpoints;
+                # a reference .pth resume has neither (the reference doesn't
+                # persist them) — start those fresh
+                if "scheduler" in meta:
+                    self.scheduler.load_state_dict(meta["scheduler"])
+                if "earlystop" in meta:
+                    es = dict(meta["earlystop"])
+                    if es.get("best_score") is not None and math.isnan(
+                        float(es["best_score"])
+                    ):
+                        es["best_score"] = None
+                    self.early_stopping.load_state_dict(es)
                 self.state = self.state.with_lr(self.scheduler.lr)
             if self.is_chief:
                 print(f"resumed from epoch {start_epoch - 1}, "
@@ -251,7 +276,7 @@ class Trainer:
                     )
                     step_timer.start()
                     self.state, loss, score = self._train_step(
-                        self.state, key, batch.image, batch.mask
+                        self.state, key, batch.image, batch.mask, batch.valid
                     )
                     step_timer.stop()
                     losses.append(loss)

@@ -44,6 +44,25 @@ class TrainState(struct.PyTreeNode):
             step=self.step + 1, params=new_params, opt_state=new_opt_state
         )
 
+    def with_adam_moments(self, mu: Any, nu: Any, count: int) -> "TrainState":
+        """Replace the Adam first/second moments and step count — used when
+        resuming from a reference torch checkpoint whose ``optimizer``
+        state_dict carries the moments (``train_worker.py:195``)."""
+        def replace_adam(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                return optax.ScaleByAdamState(
+                    count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu
+                )
+            return node
+
+        new_opt_state = jax.tree_util.tree_map(
+            replace_adam, self.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        return self.replace(
+            step=jnp.asarray(count, jnp.int32), opt_state=new_opt_state
+        )
+
 
 def make_optimizer(lr: float) -> optax.GradientTransformation:
     """Adam with torch defaults (b1=0.9, b2=0.999, eps=1e-8) — reference

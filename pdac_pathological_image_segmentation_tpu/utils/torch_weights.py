@@ -170,3 +170,212 @@ def load_reference_checkpoint(path: str, params: Any, batch_stats: Any):
     with DDP ``module.`` prefixes) into our ResUNet variables."""
     sd = _load_state_dict(path)
     return convert_resunet_state_dict(sd, params, batch_stats)
+
+
+def convert_smp_fpn_state_dict(
+    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any
+) -> Tuple[Any, Any]:
+    """Convert a segmentation_models_pytorch ``FPN(resnet*)`` state_dict —
+    the reference's DEFAULT model (``configs/train_config.yaml:22`` is
+    ``model: fpn``; factory at ``train_worker.py:153-161``) — into our flax
+    FPN variables so reference-trained default checkpoints evaluate here.
+
+    smp layout → ours:
+    * ``encoder.*``                    → torchvision resnet (shared converter)
+    * ``decoder.p5`` / ``decoder.pN.skip_conv``      → ``lateral5..lateral2``
+    * ``decoder.seg_blocks.{i}.block.{j}.block.0/1`` → ``seg{i}_{j}``
+      (3×3 conv + GroupNorm(32, eps=1e-5))
+    * ``segmentation_head.0``          → ``head`` (3×3 conv; the following
+      UpsamplingBilinear2d(4) is our align_corners=True resize)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params, batch_stats = convert_resnet_state_dict(
+        enc_sd, params, batch_stats, encoder_key="encoder"
+    )
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    def put_conv(flax_node, torch_name, bias=True):
+        w = sd[torch_name + ".weight"]
+        flax_node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        if bias:
+            flax_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+
+    put_conv(params["lateral5"], "decoder.p5")
+    for lvl, p in (("lateral4", "p4"), ("lateral3", "p3"), ("lateral2", "p2")):
+        put_conv(params[lvl], f"decoder.{p}.skip_conv")
+
+    for i, n_blocks in enumerate((3, 2, 1, 1)):  # n_upsamples 3,2,1,0
+        for j in range(n_blocks):
+            pre = f"decoder.seg_blocks.{i}.block.{j}.block"
+            node = params[f"seg{i}_{j}"]
+            put_conv(node["Conv_0"], f"{pre}.0", bias=False)
+            node["GroupNorm_0"]["scale"] = sd[f"{pre}.1.weight"].astype(
+                np.float32)
+            node["GroupNorm_0"]["bias"] = sd[f"{pre}.1.bias"].astype(
+                np.float32)
+
+    put_conv(params["head"], "segmentation_head.0")
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return params, batch_stats
+
+
+def load_reference_model_checkpoint(
+    path: str, model_name: str, params: Any, batch_stats: Any
+):
+    """Load a reference training checkpoint for the given ``cfg.model``:
+    ``unet`` (in-repo ResUNet) or ``fpn`` (smp, the reference default)."""
+    sd = _load_state_dict(path)
+    if model_name == "unet":
+        return convert_resunet_state_dict(sd, params, batch_stats)
+    if model_name == "fpn":
+        return convert_smp_fpn_state_dict(sd, params, batch_stats)
+    raise ValueError(
+        f"no .pth converter for model {model_name!r} (supported: unet, fpn)"
+    )
+
+
+def _resunet_torch_param_path(name: str):
+    """Map a reference-ResUNet torch parameter name to (flax path, transform)
+    or None for params we don't instantiate (encoder.fc).  ``transform`` is
+    the layout op also applied to that parameter's Adam moments (they share
+    the parameter's shape)."""
+    oihw = lambda w: np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+    tconv = lambda w: np.ascontiguousarray(
+        w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    ).astype(np.float32)
+    ident = lambda w: np.asarray(w, np.float32)
+
+    if name.startswith("encoder."):
+        rest = name[len("encoder."):]
+        parts = rest.split(".")
+        if parts[0] in ("fc", "avgpool"):
+            return None  # never instantiated (models/resnet.py)
+        if parts[0] == "conv1":
+            return ("encoder", "conv1", "kernel"), oihw
+        if parts[0] == "bn1":
+            leaf = {"weight": "scale", "bias": "bias"}[parts[1]]
+            return ("encoder", "bn1", leaf), ident
+        if parts[0].startswith("layer"):
+            block = f"{parts[0]}_{parts[1]}"
+            if parts[2].startswith("conv"):
+                return ("encoder", block, parts[2], "kernel"), oihw
+            if parts[2].startswith("bn"):
+                leaf = {"weight": "scale", "bias": "bias"}[parts[3]]
+                return ("encoder", block, parts[2], leaf), ident
+            if parts[2] == "downsample":
+                if parts[3] == "0":
+                    return ("encoder", block, "downsample_conv", "kernel"), oihw
+                leaf = {"weight": "scale", "bias": "bias"}[parts[4]]
+                return ("encoder", block, "downsample_bn", leaf), ident
+        raise KeyError(f"unmapped encoder param {name!r}")
+    mod, leaf = name.split(".")
+    if mod.startswith("upconv"):
+        return (mod, {"weight": "kernel", "bias": "bias"}[leaf]), (
+            tconv if leaf == "weight" else ident
+        )
+    if mod.startswith("conv"):
+        return (mod, {"weight": "kernel", "bias": "bias"}[leaf]), (
+            oihw if leaf == "weight" else ident
+        )
+    raise KeyError(f"unmapped param {name!r}")
+
+
+def convert_resunet_optimizer_state(
+    ckpt: dict, params: Any
+) -> Tuple[Any, Any, int]:
+    """Convert the reference checkpoint's torch Adam state
+    (``train_worker.py:116-120`` saves ``optimizer.state_dict()``; resume
+    restores the moments at ``train_worker.py:195``) into optax
+    ``scale_by_adam`` trees.
+
+    torch indexes optimizer state by position in ``model.parameters()`` —
+    the state_dict key order minus BN buffers.  Params that never received
+    gradients (encoder.fc under ``find_unused_parameters=True``) have no
+    state entry and stay zero here, matching a cold moment.
+
+    Returns ``(mu, nu, count)`` shaped like ``params`` (zeros where the
+    checkpoint has no state).
+    """
+    import jax
+
+    model_sd = ckpt["model"]
+    model_sd = {k.replace("module.", ""): v for k, v in model_sd.items()}
+    param_names = [
+        k for k in model_sd
+        if not k.endswith(("running_mean", "running_var",
+                           "num_batches_tracked"))
+    ]
+    opt_sd = ckpt.get("optimizer") or {}
+    opt_state = opt_sd.get("state", {})
+
+    mu = jax.tree_util.tree_map(
+        lambda p: np.zeros(p.shape, np.float32), params
+    )
+    nu = jax.tree_util.tree_map(
+        lambda p: np.zeros(p.shape, np.float32), params
+    )
+    count = 0
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        if node[path[-1]].shape != value.shape:
+            raise ValueError(
+                f"optimizer moment shape mismatch at {path}: "
+                f"{node[path[-1]].shape} vs {value.shape}"
+            )
+        node[path[-1]] = value
+
+    for idx, name in enumerate(param_names):
+        entry = opt_state.get(idx, opt_state.get(str(idx)))
+        if entry is None:
+            continue
+        mapped = _resunet_torch_param_path(name)
+        if mapped is None:
+            continue
+        path, transform = mapped
+        exp_avg = entry["exp_avg"]
+        exp_avg_sq = entry["exp_avg_sq"]
+        if hasattr(exp_avg, "numpy"):
+            exp_avg = exp_avg.detach().cpu().numpy()
+            exp_avg_sq = exp_avg_sq.detach().cpu().numpy()
+        put(mu, path, transform(exp_avg))
+        put(nu, path, transform(exp_avg_sq))
+        step = entry.get("step", 0)
+        count = max(count, int(step.item() if hasattr(step, "item") else step))
+
+    import jax.numpy as jnp
+
+    mu = jax.tree_util.tree_map(jnp.asarray, mu)
+    nu = jax.tree_util.tree_map(jnp.asarray, nu)
+    return mu, nu, count
+
+
+def load_reference_checkpoint_full(path: str, state: Any):
+    """Load a reference ``latest.pth`` as a FULL resume point: model weights,
+    BN stats, Adam moments, epoch, and previous_best — the reference's
+    resume contract (``train_worker.py:186-201``) without restarting
+    optimization cold.  Returns ``(new_state, meta_dict)``."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k.replace("module.", ""): v.detach().cpu().numpy()
+          for k, v in ckpt["model"].items()}
+    params, batch_stats = convert_resunet_state_dict(
+        sd, state.params, state.batch_stats
+    )
+    mu, nu, count = convert_resunet_optimizer_state(ckpt, params)
+    state = state.replace(params=params, batch_stats=batch_stats)
+    state = state.with_adam_moments(mu, nu, count)
+    return state, {
+        "epoch": int(ckpt.get("epoch", -1)),
+        "previous_best": float(ckpt.get("previous_best", 0.0)),
+        "source": "reference_pth",
+    }

@@ -5,6 +5,7 @@ import numpy as np
 from pdac_pathological_image_segmentation_tpu.config import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    Config,
 )
 from pdac_pathological_image_segmentation_tpu.ops.augment import (
     color_jitter,
@@ -125,3 +126,35 @@ def test_eval_transform_mask_multiclass_labels_preserved():
     masks = jnp.asarray(RNG.integers(0, 5, (2, 40, 40)), jnp.uint8)
     _, out_masks = eval_transform(imgs, masks, img_size=32)
     assert set(np.unique(np.asarray(out_masks))).issubset(set(range(5)))
+
+
+def test_stain_hook_runs_in_transforms():
+    """stain=reinhard|macenko actually changes the pipeline output (the
+    config hook is wired, not shelfware) and stays finite/normalized."""
+    rng = np.random.default_rng(11)
+    # synthetic H&E-ish pixels (avoid pure black: OD undefined)
+    imgs = rng.integers(60, 250, (2, 32, 32, 3)).astype(np.uint8)
+    masks = rng.integers(0, 2, (2, 32, 32)).astype(np.uint8)
+    base, _ = eval_transform(jnp.asarray(imgs), jnp.asarray(masks), img_size=32)
+    for method in ("reinhard", "macenko"):
+        out, m = eval_transform(jnp.asarray(imgs), jnp.asarray(masks),
+                                img_size=32, stain=method)
+        assert np.isfinite(np.asarray(out)).all(), method
+        assert not np.allclose(np.asarray(out), np.asarray(base)), method
+        np.testing.assert_array_equal(np.asarray(m),
+                                      masks.astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for method in ("reinhard", "macenko"):
+        out, m = train_transform(key, jnp.asarray(imgs), jnp.asarray(masks),
+                                 img_size=32, stain=method)
+        assert np.isfinite(np.asarray(out)).all(), method
+
+
+def test_stain_config_validation():
+    import pytest as _pytest
+
+    assert Config(model="unet", stain="MACENKO").stain == "macenko"
+    with _pytest.raises(ValueError):
+        Config(model="unet", stain="bogus")
+    with _pytest.raises(ValueError):
+        Config(model="unet", tissue_threshold=1.5)

@@ -196,3 +196,51 @@ def test_tissue_thresholding_skips_background():
     assert len(all_tiles) == 8
     assert len(tissue_tiles) == 4  # only the right half survives
     assert all(x >= 64 for (_, x) in tissue_tiles.coords)
+
+
+def test_grid_tiler_pads_slides_smaller_than_tile(model_and_state):
+    """Regression: slides smaller than one tile used to emit short tiles
+    that shape-error in the compiled infer step; now the tiler edge-pads
+    and the runner crops the canvas back to the original size."""
+    model, state = model_and_state
+    rng = np.random.default_rng(1)
+    slide = rng.integers(0, 256, (20, 50, 3), dtype=np.uint8)  # < TILE each
+    tiler = GridTiler(slide, tile=TILE, stride=TILE)
+    img, (y, x) = tiler.get(0)
+    assert img.shape == (TILE, TILE, 3)
+    runner = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                    blend="uniform", num_workers=2)
+    prob, mask = runner.run(tiler)
+    assert prob.shape == (20, 50) and mask.shape == (20, 50)
+    assert np.isfinite(prob).all()
+
+
+def test_pyhist_source_tissue_threshold(tmp_path):
+    """PyHISTTileSource drops background tiles below tissue_threshold —
+    the same keep/skip stage GridTiler has."""
+    rng = np.random.default_rng(2)
+    tile_dir = tmp_path / "tiles"
+    tile_dir.mkdir()
+    rows = ["Tile\tRow\tColumn\tKeep"]
+    for i, (r, c) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        if i < 2:  # white background tiles
+            img = np.full((TILE, TILE, 3), 250, np.uint8)
+        else:  # stained tissue tiles
+            img = np.stack([
+                rng.integers(150, 220, (TILE, TILE)),
+                rng.integers(60, 140, (TILE, TILE)),
+                rng.integers(140, 200, (TILE, TILE)),
+            ], axis=-1).astype(np.uint8)
+        name = f"t_{i}.png"
+        Image.fromarray(img).save(tile_dir / name)
+        rows.append(f"{name}\t{r}\t{c}\t1")
+    tsv = tmp_path / "tile_selection.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+
+    src_all = PyHISTTileSource(str(tile_dir), str(tsv), tile=TILE)
+    src_tissue = PyHISTTileSource(str(tile_dir), str(tsv), tile=TILE,
+                                  tissue_threshold=0.5, num_workers=2)
+    assert len(src_all) == 4
+    assert len(src_tissue) == 2
+    names = {e[0] for e in src_tissue.entries}
+    assert names == {"t_2.png", "t_3.png"}
