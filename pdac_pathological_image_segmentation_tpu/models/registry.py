@@ -24,8 +24,12 @@ def build_model(cfg: Config) -> nn.Module:
     if cfg.model == "unet":
         # reference always builds ResUNet with the default resnet18 encoder
         # (train_worker.py:150 ignores cfg["backbone"] for "unet")
+        head_dtype = _DTYPES[
+            str(cfg.extras.get("head_dtype", "float32")).lower()
+        ]
         return ResUNet(num_classes=cfg.num_classes, output_size=cfg.img_size,
-                       backbone="resnet18", dtype=dtype)
+                       backbone="resnet18", dtype=dtype,
+                       head_dtype=head_dtype, use_pallas=cfg.use_pallas)
     if cfg.model == "fpn":
         # Pallas GN wins standalone (1.65 vs 3.06 ms) but loses in-model
         # (59.9 vs 52.1 ms/step): the custom call forces standard layouts,

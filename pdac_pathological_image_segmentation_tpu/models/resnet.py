@@ -159,6 +159,10 @@ class ResNetEncoder(nn.Module):
 
     ``output_stride`` ∈ {8, 16, 32}: strides below it become dilations
     (DeepLabV3+ needs 16).
+
+    Setup-style so :meth:`stages` can run the residual stages from an
+    externally computed stem+pool activation — the entry the fused Pallas
+    stem kernel (``ops/pallas/fused_stem.py``) feeds on the inference path.
     """
 
     backbone: str = "resnet18"
@@ -167,6 +171,8 @@ class ResNetEncoder(nn.Module):
     # handling of the 7×7/2 stem on v5e (3,448 vs 3,603 patches/s end-to-end,
     # r1 bench): the s2d re-layout costs more HBM traffic than the fuller MXU
     # contraction saves.  Kept opt-in per the keep-whichever-wins rule.
+    # (The *fused* stem+pool Pallas kernel, which keeps the s2d view in VMEM,
+    # is a different story — see ops/pallas/fused_stem.py.)
     fold_stem: bool = False
     dtype: Any = jnp.float32
 
@@ -176,51 +182,65 @@ class ResNetEncoder(nn.Module):
             return [64, 64, 128, 256, 512]
         return [64, 256, 512, 1024, 2048]
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+    def setup(self) -> None:
         cfg = RESNET_CFGS[self.backbone]
         block_cls = BasicBlock if cfg["block"] == "basic" else Bottleneck
         layers: Sequence[int] = cfg["layers"]
 
-        # stem: 7×7/2 conv, BN, ReLU  (stride 2)
-        y = _StemConv(features=64, fold=self.fold_stem, dtype=self.dtype,
-                      name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
-        c1 = nn.relu(y)
+        self.conv1 = _StemConv(features=64, fold=self.fold_stem,
+                               dtype=self.dtype)
+        self.bn1 = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=self.dtype)
 
-        # 3×3/2 maxpool (stride 4)
-        y = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
-        features = [c1]
         base_channels = (64, 128, 256, 512)
         stage_strides = [1, 2, 2, 2]
-        # convert strides → dilations past the requested output stride
+        # convert strides → dilations past the requested output stride.
+        # Dilation semantics follow smp's replace_strides_with_dilation
+        # (the library the reference's DeepLabV3+ encoder actually goes
+        # through, ``train_worker.py:165-171``): every conv in a dilated
+        # stage gets the SAME rate, block 0 included.  torchvision's own
+        # ``previous_dilation`` convention is irrelevant for resnet18 —
+        # its BasicBlock raises on dilation > 1, so smp patches the convs
+        # uniformly instead.  Pinned by
+        # tests/test_torch_parity.py::test_dilated_stage_matches_smp_semantics.
         current_stride, dilation = 4, 1
+        stage_names = []
         for stage_idx, (ch, n_blocks, s) in enumerate(
             zip(base_channels, layers, stage_strides)
         ):
-            # Dilation semantics follow smp's replace_strides_with_dilation
-            # (the library the reference's DeepLabV3+ encoder actually goes
-            # through, ``train_worker.py:165-171``): every conv in a dilated
-            # stage gets the SAME rate, block 0 included.  torchvision's own
-            # ``previous_dilation`` convention is irrelevant for resnet18 —
-            # its BasicBlock raises on dilation > 1, so smp patches the convs
-            # uniformly instead.  Pinned by
-            # tests/test_torch_parity.py::test_dilated_stage_matches_smp_semantics.
             if s == 2:
                 if current_stride >= self.output_stride:
                     dilation *= 2
                     s = 1
                 else:
                     current_stride *= 2
+            names = []
             for b in range(n_blocks):
-                y = block_cls(
+                name = f"layer{stage_idx + 1}_{b}"
+                setattr(self, name, block_cls(
                     channels=ch,
                     strides=s if b == 0 else 1,
                     dilation=dilation,
                     dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{b}",
-                )(y, train=train)
+                ))
+                names.append(name)
+            stage_names.append(tuple(names))
+        self._stage_names = tuple(stage_names)
+
+    def stages(self, y: jax.Array, train: bool = False) -> List[jax.Array]:
+        """Residual stages from the post-maxpool activation: [c2, c3, c4, c5]."""
+        features = []
+        for names in self._stage_names:
+            for name in names:
+                y = getattr(self, name)(y, train=train)
             features.append(y)
-        return features  # [c1, c2, c3, c4, c5]
+        return features
+
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        # stem: 7×7/2 conv, BN, ReLU  (stride 2)
+        y = self.conv1(x)
+        y = self.bn1(y, use_running_average=not train)
+        c1 = nn.relu(y)
+        # 3×3/2 maxpool (stride 4)
+        y = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return [c1] + self.stages(y, train=train)  # [c1, c2, c3, c4, c5]

@@ -64,6 +64,13 @@ class ResUNet(nn.Module):
     output_size: int = 512
     backbone: str = "resnet18"
     dtype: Any = jnp.float32
+    # dtype of the 4× bilinear upsample + output logits.  float32 preserves
+    # the reference's interpolate() numerics bit-for-bit; bfloat16 halves the
+    # HBM traffic of the largest output-path tensors (config extra
+    # ``head_dtype: bfloat16`` — serving-path option, ~2 ms/step at bs=512).
+    head_dtype: Any = jnp.float32
+    # allow the fused Pallas stem on the inference path (cfg.use_pallas)
+    use_pallas: bool = True
 
     def setup(self) -> None:
         self.encoder = ResNetEncoder(backbone=self.backbone, dtype=self.dtype)
@@ -82,18 +89,32 @@ class ResUNet(nn.Module):
         """Encoder + decoder up to (excluding) the 1×1 head: N,H/4,W/4,64."""
         # x1 (stem) is the skip the reference computes but never uses
         _, x2, x3, x4, x5 = self.encoder(x, train=train)
+        return self._decode(x2, x3, x4, x5)
 
+    def _decode(self, x2, x3, x4, x5) -> jax.Array:
         y = self.upconv1(x5)
         y = jnp.concatenate([y, x4], axis=-1)
         y = nn.relu(self.conv1(y))
-
         y = self.upconv2(y)
         y = jnp.concatenate([y, x3], axis=-1)
         y = nn.relu(self.conv2(y))
-
         y = self.upconv3(y)
         y = jnp.concatenate([y, x2], axis=-1)
         y = nn.relu(self.conv3(y))
+        return y
+
+    def forward_pooled(self, pooled: jax.Array,
+                       train: bool = False) -> jax.Array:
+        """Forward from the post-stem/pool activation (N,H/4,W/4,64) — the
+        entry the fused Pallas stem kernel feeds (ops/pallas/fused_stem.py).
+        Valid because the reference topology never consumes the stem skip x1
+        (``models/resunet.py:25-33`` quirk)."""
+        x2, x3, x4, x5 = self.encoder.stages(pooled, train=train)
+        y = self.conv4(self._decode(x2, x3, x4, x5))
+        if self.num_classes == 1:
+            y = y[..., None]
+        y = resize_bilinear(y.astype(self.head_dtype), self.output_size,
+                            self.output_size, compute_dtype=self.head_dtype)
         return y
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -101,6 +122,6 @@ class ResUNet(nn.Module):
         if self.num_classes == 1:
             y = y[..., None]  # dense N,H,W from the head → N,H,W,1 (free)
         # single 4× bilinear upsample, align_corners=False semantics
-        y = resize_bilinear(y.astype(jnp.float32), self.output_size,
-                            self.output_size)
-        return y  # N,H,W,num_classes logits, float32
+        y = resize_bilinear(y.astype(self.head_dtype), self.output_size,
+                            self.output_size, compute_dtype=self.head_dtype)
+        return y  # N,H,W,num_classes logits, head_dtype (float32 default)

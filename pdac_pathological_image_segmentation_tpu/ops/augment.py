@@ -40,8 +40,12 @@ from pdac_pathological_image_segmentation_tpu.ops.resize import (
     resize_nearest,
 )
 
-_MEAN = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
-_STD = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+# numpy on purpose: module may first be imported inside a jit trace, where
+# module-level jnp ops would leak tracers into these globals
+import numpy as _np
+
+_MEAN = _np.asarray(IMAGENET_MEAN, dtype=_np.float32)
+_STD = _np.asarray(IMAGENET_STD, dtype=_np.float32)
 
 
 def normalize(img: jax.Array, dtype: jnp.dtype = jnp.float32) -> jax.Array:
@@ -52,14 +56,15 @@ def normalize(img: jax.Array, dtype: jnp.dtype = jnp.float32) -> jax.Array:
     dtype — uint8 values are exact in bf16, so this halves the HBM traffic
     of the largest pre-model tensor on the inference path."""
     img = img.astype(dtype)
-    mean = (_MEAN * 255.0).astype(dtype)
-    inv_std = (1.0 / (_STD * 255.0)).astype(dtype)
+    mean = jnp.asarray(_MEAN * 255.0, dtype)
+    inv_std = jnp.asarray(1.0 / (_STD * 255.0), dtype)
     return (img - mean) * inv_std
 
 
 def denormalize(img: jax.Array) -> jax.Array:
     """Inverse of :func:`normalize`, in [0,1] (reference ``test.py:128-131``)."""
-    return jnp.clip(img * _STD + _MEAN, 0.0, 1.0)
+    return jnp.clip(img * jnp.asarray(_STD, img.dtype)
+                    + jnp.asarray(_MEAN, img.dtype), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +83,12 @@ def _adjust_brightness(img, factor, clip):
 
 
 def _adjust_contrast(img, factor, clip):
-    mean = jnp.mean(_rgb_to_grayscale(img), axis=(-3, -2), keepdims=True)
+    # accumulate the spatial mean in f32 (a bf16 sum over 260k pixels loses
+    # precision), then return to the image dtype for the elementwise math
+    mean = jnp.mean(
+        _rgb_to_grayscale(img).astype(jnp.float32), axis=(-3, -2),
+        keepdims=True,
+    ).astype(img.dtype)
     out = mean + (img - mean) * factor
     return jnp.clip(out, 0.0, 1.0) if clip else out
 
@@ -102,8 +112,9 @@ def _adjust_hue(img, delta, clip):
     )
     t_rgb = jnp.linalg.inv(t_yiq.astype(jnp.float32)).astype(img.dtype)
     yiq = jnp.einsum("...c,kc->...k", img, t_yiq)
-    angle = 2.0 * jnp.pi * delta
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    angle = 2.0 * jnp.pi * delta.astype(jnp.float32)
+    cos = jnp.cos(angle).astype(img.dtype)
+    sin = jnp.sin(angle).astype(img.dtype)
     y = yiq[..., 0:1]
     i = yiq[..., 1:2] * cos - yiq[..., 2:3] * sin
     q = yiq[..., 1:2] * sin + yiq[..., 2:3] * cos
@@ -126,27 +137,33 @@ def color_jitter(
     applied with probability ``p`` (albumentations default p=0.5,
     reference ``train_main.py:75``)."""
     k_apply, k_order, k_b, k_c, k_s, k_h = jax.random.split(key, 6)
-    fb = jax.random.uniform(k_b, (), minval=1.0 - brightness, maxval=1.0 + brightness)
-    fc = jax.random.uniform(k_c, (), minval=1.0 - contrast, maxval=1.0 + contrast)
-    fs = jax.random.uniform(k_s, (), minval=1.0 - saturation, maxval=1.0 + saturation)
-    fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+    # draw factors in f32 (bf16 uniforms are coarse) but cast to the image
+    # dtype before use — a stray f32 scalar would promote every elementwise
+    # op on a bf16 image chain back to f32 (full-image HBM cost, measured)
+    dt = img.dtype
+    fb = jax.random.uniform(k_b, (), minval=1.0 - brightness,
+                            maxval=1.0 + brightness).astype(dt)
+    fc = jax.random.uniform(k_c, (), minval=1.0 - contrast,
+                            maxval=1.0 + contrast).astype(dt)
+    fs = jax.random.uniform(k_s, (), minval=1.0 - saturation,
+                            maxval=1.0 + saturation).astype(dt)
+    fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue).astype(dt)
 
     perm = jax.random.permutation(k_order, 4)
 
-    def apply_op(i, im):
-        idx = perm[i]
-        return jax.lax.switch(
-            idx,
-            [
-                lambda x: _adjust_brightness(x, fb, clip),
-                lambda x: _adjust_contrast(x, fc, clip),
-                lambda x: _adjust_saturation(x, fs, clip),
-                lambda x: _adjust_hue(x, fh, clip),
-            ],
-            im,
-        )
-
-    jittered = jax.lax.fori_loop(0, 4, apply_op, img)
+    branches = [
+        lambda x: _adjust_brightness(x, fb, clip),
+        lambda x: _adjust_contrast(x, fc, clip),
+        lambda x: _adjust_saturation(x, fs, clip),
+        lambda x: _adjust_hue(x, fh, clip),
+    ]
+    # UNROLLED (not fori_loop): a while-loop carrying the full image forces
+    # every iteration through HBM un-fused — measured 32 ms/step of a 184 ms
+    # bs=128 train step at 512².  Four static switches fuse into ~8 cheap
+    # elementwise passes.
+    jittered = img
+    for i in range(4):
+        jittered = jax.lax.switch(perm[i], branches, jittered)
     return jnp.where(jax.random.uniform(k_apply) < p, jittered, img)
 
 
@@ -173,10 +190,13 @@ def one_of_flip_rot(
 
     def rot90(args):
         im, ms = args
-        # lax.switch over the 4 static rotations (no dynamic shapes: H==W)
+        # lax.switch over the 4 static rotations (no dynamic shapes: H==W).
+        # k=k binds each branch's rotation eagerly — a bare `lambda a:
+        # jnp.rot90(a, k)` would late-bind every branch to k=3.
+        branches = [lambda a, k=k: jnp.rot90(a, k) for k in range(4)]
         return (
-            jax.lax.switch(rot_k, [lambda a: jnp.rot90(a, k) for k in range(4)], im),
-            jax.lax.switch(rot_k, [lambda a: jnp.rot90(a, k) for k in range(4)], ms),
+            jax.lax.switch(rot_k, branches, im),
+            jax.lax.switch(rot_k, branches, ms),
         )
 
     def vflip(args):
@@ -196,7 +216,8 @@ def one_of_flip_rot(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("img_size", "parity_mode", "stain"))
+                   static_argnames=("img_size", "parity_mode", "stain",
+                                    "dtype"))
 def train_transform(
     key: jax.Array,
     images: jax.Array,  # N,H,W,3 uint8
@@ -204,6 +225,7 @@ def train_transform(
     img_size: int,
     parity_mode: bool = False,
     stain: str = "none",
+    dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reference train pipeline (``train_main.py:70-81``), fused on device.
 
@@ -211,30 +233,38 @@ def train_transform(
     normalization on [0,1] pixels before everything else (framework
     extension, BASELINE config #2; the reference has none).
 
-    Returns float32 normalized images (N,S,S,3) and float32 binary masks
+    ``dtype`` is the pipeline compute dtype: pass the model's compute dtype
+    (bfloat16 on TPU) so the whole augmentation chain never touches float32
+    full-image tensors — uint8 pixel values are exact in bf16 and the
+    augmented values feed a bf16 model anyway.
+
+    Returns ``dtype`` normalized images (N,S,S,3) and float32 binary masks
     (N,S,S).
     """
-    images = resize_bilinear(images.astype(jnp.float32), img_size, img_size)
+    if images.shape[1] != img_size or images.shape[2] != img_size:
+        images = resize_bilinear(images.astype(jnp.float32), img_size,
+                                 img_size)
     masks = resize_nearest(masks, img_size, img_size).astype(jnp.float32)
+    images = images.astype(dtype)
     if stain != "none":
         from pdac_pathological_image_segmentation_tpu.ops.stain import (
             apply_stain_batch,
         )
 
-        images = apply_stain_batch(images / 255.0, stain) * 255.0
+        images = apply_stain_batch(images / 255.0, stain).astype(dtype) * 255.0
 
     keys = jax.random.split(key, images.shape[0] * 2).reshape(images.shape[0], 2, -1)
 
     if parity_mode:
         # quirk-compatible: normalize first, jitter the normalized floats,
         # no clipping (SURVEY.md §5 quirk list / train_main.py:73-75)
-        imgs = normalize(images * 1.0)  # images already 0..255 floats
+        imgs = normalize(images, dtype=dtype)
         jit_fn = lambda k, im: color_jitter(k, im, clip=False)
         imgs = jax.vmap(jit_fn)(keys[:, 0], imgs)
     else:
-        imgs = images / 255.0
+        imgs = images / jnp.asarray(255.0, dtype)
         imgs = jax.vmap(lambda k, im: color_jitter(k, im, clip=True))(keys[:, 0], imgs)
-        imgs = (imgs - _MEAN) / _STD
+        imgs = (imgs - jnp.asarray(_MEAN, dtype)) / jnp.asarray(_STD, dtype)
 
     imgs, masks = jax.vmap(one_of_flip_rot)(keys[:, 1], imgs, masks)
     return imgs, masks

@@ -16,8 +16,8 @@ reference, which never all-reduces metrics — SURVEY.md §5).
 
 Implemented in plain XLA: these are bandwidth-bound single-pass reductions
 that XLA fuses into one kernel (sigmoid + multiply + three sums share the
-input read).  A Pallas variant is provided in ``ops/pallas/fused_dice.py``
-and selected by the benchmark when it wins.
+input read) — profiling shows them fully fused into adjacent passes, so no
+Pallas variant is warranted.
 """
 
 from __future__ import annotations

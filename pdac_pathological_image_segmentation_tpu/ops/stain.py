@@ -23,16 +23,20 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
+# Module-level constants are NUMPY on purpose: this module may be first
+# imported from inside a jit trace (the transforms import it lazily), where
+# any jnp op would stage into the trace and leak tracers into these globals.
 # standard reference H&E stain basis (columns = hematoxylin, eosin OD
 # vectors) used when no reference slide is fitted — the widely used values
 # from the original Macenko formulation
-REFERENCE_STAIN_BASIS = jnp.asarray(
+REFERENCE_STAIN_BASIS = _np.asarray(
     [[0.5626, 0.2159],
      [0.7201, 0.8012],
-     [0.4062, 0.5581]], dtype=jnp.float32
+     [0.4062, 0.5581]], dtype=_np.float32
 )
-REFERENCE_MAX_CONC = jnp.asarray([1.9705, 1.0308], dtype=jnp.float32)
+REFERENCE_MAX_CONC = _np.asarray([1.9705, 1.0308], dtype=_np.float32)
 
 _EPS = 1e-6
 
@@ -41,20 +45,16 @@ _EPS = 1e-6
 # Reinhard (LAB statistics matching)
 # ---------------------------------------------------------------------------
 
-_RGB2LMS = jnp.asarray(
+_RGB2LMS = _np.asarray(
     [[0.3811, 0.5783, 0.0402],
      [0.1967, 0.7244, 0.0782],
-     [0.0241, 0.1288, 0.8444]], dtype=jnp.float32
+     [0.0241, 0.1288, 0.8444]], dtype=_np.float32
 )
-_LMS2LAB_A = jnp.asarray(
-    [[1 / jnp.sqrt(3.0), 0, 0],
-     [0, 1 / jnp.sqrt(6.0), 0],
-     [0, 0, 1 / jnp.sqrt(2.0)]], dtype=jnp.float32
-) @ jnp.asarray(
+_LMS2LAB_A = (_np.diag(1.0 / _np.sqrt(_np.asarray([3.0, 6.0, 2.0])))
+              @ _np.asarray(
     [[1.0, 1.0, 1.0],
      [1.0, 1.0, -2.0],
-     [1.0, -1.0, 0.0]], dtype=jnp.float32
-)
+     [1.0, -1.0, 0.0]])).astype(_np.float32)
 
 
 def _rgb_to_lab(rgb: jax.Array) -> jax.Array:
@@ -63,10 +63,14 @@ def _rgb_to_lab(rgb: jax.Array) -> jax.Array:
     return jnp.einsum("...c,kc->...k", log_lms, _LMS2LAB_A)
 
 
+_LAB2LMS = _np.linalg.inv(_LMS2LAB_A.astype(_np.float64)).astype(_np.float32)
+_LMS2RGB = _np.linalg.inv(_RGB2LMS.astype(_np.float64)).astype(_np.float32)
+
+
 def _lab_to_rgb(lab: jax.Array) -> jax.Array:
-    log_lms = jnp.einsum("...c,kc->...k", lab, jnp.linalg.inv(_LMS2LAB_A))
+    log_lms = jnp.einsum("...c,kc->...k", lab, _LAB2LMS)
     lms = jnp.power(10.0, log_lms)
-    rgb = jnp.einsum("...c,kc->...k", lms, jnp.linalg.inv(_RGB2LMS))
+    rgb = jnp.einsum("...c,kc->...k", lms, _LMS2RGB)
     return jnp.clip(rgb, 0.0, 1.0)
 
 
@@ -111,14 +115,14 @@ def reference_lab_stats() -> "LabStats":
     cache with tracers."""
     import numpy as np
 
-    max_conc = np.asarray(REFERENCE_MAX_CONC)
+    max_conc = REFERENCE_MAX_CONC
     c = np.linspace(0.05, 1.0, 64)
     g1, g2 = np.meshgrid(c * max_conc[0], c * max_conc[1])
     conc = np.stack([g1.ravel(), g2.ravel()])  # (2, N)
-    od = np.asarray(REFERENCE_STAIN_BASIS) @ conc
+    od = REFERENCE_STAIN_BASIS @ conc
     rgb = np.power(10.0, -od).T.astype(np.float64)  # (N, 3)
-    lms = rgb @ np.asarray(_RGB2LMS).T
-    lab = np.log10(np.maximum(lms, _EPS)) @ np.asarray(_LMS2LAB_A).T
+    lms = rgb @ _RGB2LMS.T
+    lab = np.log10(np.maximum(lms, _EPS)) @ _LMS2LAB_A.T
     return LabStats(
         lab.mean(axis=0).astype(np.float32),
         (lab.std(axis=0) + _EPS).astype(np.float32),

@@ -144,6 +144,14 @@ class Trainer:
                 cfg.pretrained_path, state.params, state.batch_stats
             )
             state = state.replace(params=params, batch_stats=batch_stats)
+        elif jax.process_index() == 0:
+            print(
+                "note: encoder starts from random init — the reference "
+                "always starts from ImageNet (models/resunet.py:12). "
+                "Convert torchvision weights offline with "
+                "scripts/convert_torchvision_resnet18.py and set "
+                "`pretrained_path` to match its accuracy trajectory."
+            )
         # replicate state over the mesh
         self.state = jax.device_put(state, self.repl_sharding)
 
@@ -185,7 +193,10 @@ class Trainer:
                                grad_accum_steps=int(
                                    self.cfg.extras.get("grad_accum_steps", 1)
                                ),
-                               stain=self.cfg.stain)
+                               stain=self.cfg.stain,
+                               augment=bool(
+                                   self.cfg.extras.get("augment", True)
+                               ))
 
     def _build_eval_step(self):
         return make_eval_step(self.model, self.cfg.img_size,

@@ -35,7 +35,7 @@ def _default_objective() -> Objective:
 def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
                     donate: bool = True, objective: Objective | None = None,
                     remat: bool = False, grad_accum_steps: int = 1,
-                    stain: str = "none"):
+                    stain: str = "none", augment: bool = True):
     """Returns jitted ``step(state, key, image_u8, mask_u8) →
     (new_state, loss, score)`` — the reference's per-batch body
     (``train_worker.py:67-83``) as one fused program.
@@ -86,10 +86,22 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
         # samples out of loss/score (they still pass through BN batch stats —
         # real images, negligible effect).
         k_aug, k_drop = jax.random.split(key)
-        imgs, msks = train_transform(
-            k_aug, image, mask, img_size=img_size, parity_mode=parity_mode,
-            stain=stain,
-        )
+        if augment:
+            # run the augmentation chain in the model's compute dtype so no
+            # full-image float32 tensor ever hits HBM (uint8 is exact in
+            # bf16; the model consumes bf16 anyway)
+            aug_dtype = getattr(model, "dtype", None) or jnp.float32
+            imgs, msks = train_transform(
+                k_aug, image, mask, img_size=img_size,
+                parity_mode=parity_mode, stain=stain, dtype=aug_dtype,
+            )
+        else:
+            # augmentation disabled (config extra ``augment: false``):
+            # val-pipeline transform only — also the deterministic input
+            # path the cross-framework training-parity harness relies on
+            # (scripts/train_parity.py)
+            imgs, msks = eval_transform(image, mask, img_size=img_size,
+                                        stain=stain)
 
         if grad_accum_steps <= 1:
             grads, new_bs, loss, score = micro_grads(
@@ -184,19 +196,62 @@ def _can_fold_stem(params) -> bool:
         return False
 
 
+def _can_fuse_stem(model, params, image_shape, img_size, stain) -> bool:
+    """Pallas fused-stem eligibility: TPU, bf16 model, native-size uint8
+    input, no stain hook, torchvision stem shapes, and a model exposing
+    ``forward_pooled``."""
+    if stain != "none" or not hasattr(model, "forward_pooled"):
+        return False
+    if getattr(model, "dtype", None) != jnp.bfloat16:
+        return False
+    if not getattr(model, "use_pallas", True):
+        return False
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return False
+    if image_shape[1] != img_size or image_shape[2] != img_size:
+        return False
+    if img_size % 32:
+        return False
+    return _can_fold_stem(params)
+
+
 def make_infer_step(model: nn.Module, img_size: int, stain: str = "none"):
     """Returns jitted ``step(state, image_u8) → probs`` — the binary
     tile→mask inference path (resize+normalize+forward+sigmoid fused).
 
-    When no stain normalization is requested and the model has the
-    torchvision stem, the ImageNet normalize is folded into the stem conv
-    weights (see :func:`_fold_normalize_into_stem`)."""
+    Fast paths, in preference order:
+    * **fused Pallas stem** (TPU + bf16 + native-size input): uint8 pixels →
+      normalize+conv7×7/2+BN+ReLU+maxpool in one kernel
+      (``ops/pallas/fused_stem.py``), then ``model.forward_pooled``;
+    * **normalize fold**: the ImageNet scale folds into the stem conv
+      weights (:func:`_fold_normalize_into_stem`) and the shift into the
+      input, skipping the separate normalize pass."""
     dtype = getattr(model, "dtype", None) or jnp.float32
 
     @jax.jit
     def step(state: TrainState, image):
         n = image.shape[0]
         params, batch_stats = state.params, state.batch_stats
+        if _can_fuse_stem(model, params, image.shape, img_size, stain):
+            from pdac_pathological_image_segmentation_tpu.ops.pallas.fused_stem import (
+                fold_stem_weights,
+                fused_stem_pool,
+            )
+
+            wt, bias = fold_stem_weights(
+                params["encoder"]["conv1"]["kernel"],
+                params["encoder"]["bn1"]["scale"],
+                params["encoder"]["bn1"]["bias"],
+                batch_stats["encoder"]["bn1"]["mean"],
+                batch_stats["encoder"]["bn1"]["var"],
+            )
+            pooled = fused_stem_pool(image, wt, bias)  # (N,64,H/4,W/4)
+            pooled = jnp.transpose(pooled, (0, 2, 3, 1)).astype(dtype)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                pooled, train=False, method="forward_pooled",
+            )
+            return jax.nn.sigmoid(out[..., 0])
         if stain == "none" and _can_fold_stem(params):
             import numpy as np
 
@@ -225,7 +280,10 @@ def make_infer_step(model: nn.Module, img_size: int, stain: str = "none"):
             {"params": params, "batch_stats": batch_stats},
             imgs, train=False,
         )
-        return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))
+        # logits arrive in the model's head dtype (float32 default;
+        # bfloat16 when serving with ``head_dtype: bfloat16``) — keep the
+        # sigmoid in that dtype so the bf16 path never writes f32
+        return jax.nn.sigmoid(out[..., 0])
 
     return step
 

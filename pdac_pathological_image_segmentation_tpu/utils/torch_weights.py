@@ -24,6 +24,11 @@ import numpy as np
 
 
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".npz"):
+        # torch-free artifact produced by scripts/convert_torchvision_resnet18.py
+        # (same torch key names, values already numpy)
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -55,26 +60,43 @@ def convert_resnet_state_dict(
     params: Any,
     batch_stats: Any,
     encoder_key: str = "encoder",
+    strict: bool = True,
 ) -> Tuple[Any, Any]:
     """Graft torch ResNet weights into copies of ``params``/``batch_stats``
     (flax dicts produced by ``ResNetEncoder``), leaving non-encoder leaves
-    untouched.  Raises KeyError on shape-incompatible trees."""
+    untouched.  Raises KeyError on shape-incompatible trees.
+
+    ``strict=True`` additionally verifies EVERY leaf of the flax encoder
+    subtree was overwritten — a silent partial graft (renamed torch keys,
+    truncated state_dict) fails loudly instead of training from a mix of
+    pretrained and random weights."""
     import jax
 
     params = jax.tree_util.tree_map(np.asarray, params)
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
     p_enc = params[encoder_key] if encoder_key else params
     b_enc = batch_stats[encoder_key] if encoder_key else batch_stats
+    written: set = set()
 
     def put_conv(flax_node: dict, torch_name: str) -> None:
         w = sd[torch_name + ".weight"]  # O,I,H,W
+        if tuple(flax_node["kernel"].shape) != (
+            w.shape[2], w.shape[3], w.shape[1], w.shape[0]
+        ):
+            raise ValueError(
+                f"{torch_name}: kernel shape mismatch "
+                f"{flax_node['kernel'].shape} vs torch {w.shape}"
+            )
         flax_node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        written.add(id(flax_node))
 
     def put_bn(p_node: dict, b_node: dict, torch_name: str) -> None:
         p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
         p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
         b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
         b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+        written.add(id(p_node))
+        written.add(id(b_node))
 
     put_conv(p_enc["conv1"], "conv1")
     put_bn(p_enc["bn1"], b_enc["bn1"], "bn1")
@@ -101,6 +123,22 @@ def convert_resnet_state_dict(
             put_conv(pf["downsample_conv"], f"{tname}.downsample.0")
             put_bn(pf["downsample_bn"], bf["downsample_bn"],
                    f"{tname}.downsample.1")
+
+    if strict:
+        def check(node, path):
+            if isinstance(node, dict):
+                if any(not isinstance(v, dict) for v in node.values()):
+                    if id(node) not in written:
+                        raise KeyError(
+                            "flax encoder subtree not covered by the torch "
+                            f"state_dict: {'/'.join(path)} — partial graft"
+                        )
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        check(v, path + (k,))
+
+        check(p_enc, ("params",))
+        check(b_enc, ("batch_stats",))
 
     import jax.numpy as jnp
 

@@ -105,6 +105,32 @@ def main() -> None:
             print(f"layout variant FAILED: {type(e).__name__}: {e}",
                   flush=True)
 
+    if "bf16head" in variants:
+        cfg2 = Config(model="unet", img_size=512, compute_dtype="bfloat16")
+        cfg2.extras["head_dtype"] = "bfloat16"
+        model2 = build_model(cfg2)
+        step2 = make_infer_step(model2, 512)
+        x = jax.device_put(
+            rng.integers(0, 256, (512, 512, 512, 3), dtype=np.uint8))
+        out = step2(state, x)
+        print("bf16head out dtype:", out.dtype, flush=True)
+        ms, pps = bench(step2, state, x, depth=6)
+        print(f"bs=512 bf16-head depth=6: {ms:.1f} ms/step, {pps:.0f} p/s",
+              flush=True)
+
+    if "fusedstem" in variants:
+        # the default make_infer_step picks the Pallas fused stem on TPU
+        x = jax.device_put(
+            rng.integers(0, 256, (512, 512, 512, 3), dtype=np.uint8))
+        t0 = time.perf_counter()
+        out = step(state, x)
+        fetch(out)
+        print(f"fused-stem compile+first: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        ms, pps = bench(step, state, x, depth=6)
+        print(f"bs=512 fused-stem depth=6: {ms:.1f} ms/step, {pps:.0f} p/s",
+              flush=True)
+
     if "batch1024" in variants:
         xb = jax.device_put(
             rng.integers(0, 256, (1024, 512, 512, 3), dtype=np.uint8))

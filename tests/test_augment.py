@@ -158,3 +158,24 @@ def test_stain_config_validation():
         Config(model="unet", stain="bogus")
     with _pytest.raises(ValueError):
         Config(model="unet", tissue_threshold=1.5)
+
+
+def test_rot90_branches_cover_all_rotations():
+    """Regression: the rot90 lax.switch branches late-bound their rotation
+    count (all rotated by 3).  Over many keys every k∈{1,2,3} must occur."""
+    from pdac_pathological_image_segmentation_tpu.ops.augment import (
+        one_of_flip_rot,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(8, 8, 3)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (8, 8)), jnp.float32)
+    seen = set()
+    f = jax.jit(lambda k: one_of_flip_rot(k, img, mask, p=1.0))
+    for i in range(80):
+        out, _ = f(jax.random.PRNGKey(i))
+        out = np.asarray(out)
+        for k in range(4):
+            if np.allclose(out, np.rot90(np.asarray(img), k)):
+                seen.add(("rot", k))
+    assert {("rot", 1), ("rot", 2), ("rot", 3)} <= seen, seen
