@@ -55,3 +55,55 @@ def generate_synthetic_patches(
             os.path.join(out_dir, f"patch_{i:04d}-labelled.png")
         )
     return n, n
+
+
+class SyntheticSlideSource:
+    """Procedural gigapixel-slide tile source — O(1) memory.
+
+    Generates each tile deterministically from its grid coordinates (same
+    protocol as ``infer.wsi.GridTiler``: ``len()``, ``get(i) → (tile_u8,
+    (y, x))``, ``canvas_hw``), so a 40k×40k slide streams through the
+    sliding-window pipeline without the slide (4.8 GB) ever existing in
+    host RAM — the BASELINE config #4 harness input.
+
+    Roughly ``background_fraction`` of tiles are blank glass (bright,
+    unsaturated), the rest H&E-ish tissue with a purple blob — so
+    ``tissue_threshold`` has something real to skip.
+    """
+
+    def __init__(self, size: int, tile: int = 512, stride: int | None = None,
+                 seed: int = 0, background_fraction: float = 0.3) -> None:
+        self.size = size
+        self.tile = tile
+        self.stride = stride or tile
+        self.seed = seed
+        self.background_fraction = background_fraction
+        ys = list(range(0, max(size - tile, 0) + 1, self.stride))
+        if ys and ys[-1] != size - tile and size > tile:
+            ys.append(size - tile)
+        self.coords = [(y, x) for y in ys for x in ys]
+        self.canvas_hw = (size, size)
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    def get(self, i: int):
+        y, x = self.coords[i]
+        t = self.tile
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + y) * 1_000_003 + x
+        )
+        if rng.random() < self.background_fraction:
+            img = np.full((t, t, 3), 244, np.uint8)
+        else:
+            # low-frequency field upsampled by kron: cheap, smooth "tissue"
+            coarse = rng.normal(0, 1, (t // 32, t // 32, 3)).astype(np.float32)
+            field = np.kron(coarse, np.ones((32, 32, 1), np.float32))
+            img = np.array([225, 170, 195], np.float32) + 18.0 * field
+            cy, cx = rng.integers(t // 4, 3 * t // 4, size=2)
+            r = int(rng.integers(t // 8, t // 3))
+            yy, xx = np.ogrid[:t, :t]
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[blob] = img[blob] * 0.5 + np.array([120, 60, 160]) * 0.5
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return img, (y, x)

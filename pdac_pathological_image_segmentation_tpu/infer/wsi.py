@@ -240,6 +240,90 @@ class SlidingWindowInference:
         return prob[:oh, :ow], mask[:oh, :ow]
 
 
+class BandedSlidingWindow:
+    """Single-device sliding-window inference for slides whose canvas does
+    not fit HBM (or host RAM): the canvas lives as one horizontal band of
+    ``band_h + tile`` rows on device; a tile belongs to the band containing
+    its top edge (it spills at most ``tile`` rows into the next band, which
+    are carried over as the next band's starting accumulation).  Finalized
+    rows stream to a host array (``prob_dtype`` float16 by default — a
+    40k×40k probability map is 3.2 GB instead of 6.4).
+
+    Device memory is O(band) and host tile input streams from the source —
+    combined with a streaming source (``data.synthetic.SyntheticSlideSource``
+    or ``PyHISTTileSource``) nothing O(slide) ever materializes except the
+    output itself."""
+
+    def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
+                 band_h: Optional[int] = None, tta: bool = False,
+                 blend: str = "hann", num_workers: int = 8,
+                 stain: str = "none") -> None:
+        from pdac_pathological_image_segmentation_tpu.train.steps import (
+            make_infer_step,
+        )
+
+        self.state = state
+        self.tile = tile
+        self.batch_size = batch_size
+        self.band_h = band_h or max(tile, 4096)
+        assert self.band_h >= tile
+        self.blend = blend
+        self._infer = _make_tta_infer(
+            make_infer_step(model, tile, stain=stain), tta
+        )
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def _band_batches(self, source, idxs):
+        for start in range(0, len(idxs), self.batch_size):
+            chunk = idxs[start:start + self.batch_size]
+            pairs = list(self._pool.map(source.get, chunk))
+            images = np.stack([p[0] for p in pairs])
+            coords = np.asarray([p[1] for p in pairs], dtype=np.int32)
+            yield images, coords
+
+    def run(self, source, prob_dtype=np.float16
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = source.canvas_hw
+        tile, band_h = self.tile, self.band_h
+        n = len(source)
+        # band assignment by tile top edge (host-side, O(tiles))
+        coords_all = getattr(source, "coords", None)
+        if coords_all is None:
+            coords_all = [source.get(i)[1] for i in range(n)]
+        n_bands = -(-h // band_h)
+        per_band: list[list[int]] = [[] for _ in range(n_bands)]
+        for i, (y, x) in enumerate(coords_all):
+            per_band[min(y // band_h, n_bands - 1)].append(i)
+
+        roll = jax.jit(
+            lambda a: jnp.zeros_like(a).at[:tile].set(a[band_h:]),
+            donate_argnums=(0,),
+        )
+        prob_out = np.zeros((h, w), dtype=prob_dtype)
+        mask_out = np.zeros((h, w), dtype=np.uint8)
+        accum = jnp.zeros((band_h + tile, w), jnp.float32)
+        weight = jnp.zeros((band_h + tile, w), jnp.float32)
+        for b in range(n_bands):
+            y0 = b * band_h
+            for images, coords in self._band_batches(source, per_band[b]):
+                probs = self._infer(self.state, jnp.asarray(images))
+                local = coords - np.asarray([y0, 0], np.int32)
+                accum, weight = stitch_tiles_into(
+                    accum, weight, probs.astype(jnp.float32),
+                    jnp.asarray(local), blend=self.blend,
+                )
+            rows = min(band_h, h - y0)
+            prob, mask = finalize_canvas(accum[:band_h], weight[:band_h])
+            prob_out[y0:y0 + rows] = np.asarray(
+                jax.device_get(prob[:rows])).astype(prob_dtype)
+            mask_out[y0:y0 + rows] = np.asarray(jax.device_get(mask[:rows]))
+            if b + 1 < n_bands:
+                accum = roll(accum)
+                weight = roll(weight)
+        oh, ow = getattr(source, "orig_hw", (h, w))
+        return prob_out[:oh, :ow], mask_out[:oh, :ow]
+
+
 def overlay_figure(
     slide_thumb: np.ndarray,  # h,w,3 uint8 low-res rendering
     mask: np.ndarray,  # H,W binary at full tile grid resolution

@@ -118,23 +118,43 @@ def _stem_kernel(x_ref, wt_ref, b_ref, m_ref, out_ref, s2d_ref, *, h: int,
         conv = jnp.maximum(conv + bias, 0.0).reshape(64, rows, wc)
         if c == 0:
             # the o=-1 row was computed from pad zeros; for maxpool it must
-            # be -inf (pool pad never wins), not relu(bias)
-            conv = conv.at[:, 0, :].set(_NEG)
+            # be -inf (pool pad never wins), not relu(bias).  (iota mask —
+            # .at[].set lowers to scatter, which Mosaic doesn't support)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, conv.shape, 1)
+            conv = jnp.where(row_ids == 0, _NEG, conv)
         # 3×3/2 maxpool: rows 2rr,2rr+1,2rr+2 (chunk-local), cols with a
-        # -inf left pad (pool col 0 reads conv col -1)
-        rmax = jnp.maximum(
-            jnp.maximum(conv[:, 0:rows - 1:2, :], conv[:, 1:rows:2, :]),
-            conv[:, 2:rows:2, :],
-        )  # (64, row_chunk//2, wc)
-        cpad = jnp.concatenate(
-            [jnp.full((64, row_chunk // 2, 1), _NEG, jnp.float32), rmax],
-            axis=2,
-        )  # (64, ·, wc+1)
-        pooled = jnp.maximum(
-            jnp.maximum(cpad[:, :, 0:wc:2], cpad[:, :, 1:wc + 1:2]),
-            cpad[:, :, 2:wc + 1:2],
-        )  # (64, row_chunk//2, wp)
+        # -inf left pad (pool col 0 reads conv col -1).  Stride-2 access is
+        # expressed as pair-reshapes + unit slices: Mosaic lowers strided
+        # slices on non-minor dims to (unsupported >2-D) gathers.
         pr = row_chunk // 2
+        c_ext = jnp.concatenate(
+            [conv, jnp.full((64, 1, wc), _NEG, jnp.float32)], axis=1
+        )  # rows+1 = row_chunk+2
+        pairs = c_ext[:, 0:2 * pr, :].reshape(64, pr, 2, wc)
+        shifted = c_ext[:, 2:2 * pr + 2, :].reshape(64, pr, 2, wc)
+        rmax = jnp.maximum(
+            jnp.maximum(pairs[:, :, 0, :], pairs[:, :, 1, :]),
+            shifted[:, :, 0, :],
+        )  # (64, pr, wc)
+        cpad = jnp.concatenate(
+            [jnp.full((64, pr, 1), _NEG, jnp.float32), rmax,
+             jnp.full((64, pr, 1), _NEG, jnp.float32)],
+            axis=2,
+        )  # (64, pr, wc+2)
+        m3 = jnp.maximum(
+            jnp.maximum(cpad[:, :, 0:wc], cpad[:, :, 1:wc + 1]),
+            cpad[:, :, 2:wc + 2],
+        )  # (64, pr, wc) — col q holds max over conv cols q-1..q+1
+        # keep even columns via a one-hot selection matmul: Mosaic cannot
+        # split a lane dim (reshape 256→128×2), but an exact 0/1 dot on the
+        # MXU selects them for free
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (wc, wp), 0)
+               == 2 * jax.lax.broadcasted_iota(jnp.int32, (wc, wp), 1)
+               ).astype(jnp.float32)
+        pooled = jax.lax.dot_general(
+            m3.reshape(64 * pr, wc), sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(64, pr, wp)
         out_ref[0, :, c * pr:(c + 1) * pr, :] = pooled.astype(jnp.bfloat16)
 
 

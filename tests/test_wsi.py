@@ -244,3 +244,47 @@ def test_pyhist_source_tissue_threshold(tmp_path):
     assert len(src_tissue) == 2
     names = {e[0] for e in src_tissue.entries}
     assert names == {"t_2.png", "t_3.png"}
+
+
+def test_banded_sliding_window_matches_plain(model_and_state):
+    """O(band)-memory banded runner == whole-canvas runner on the same
+    slide (incl. tiles spilling across band boundaries)."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    model, state = model_and_state
+    rng = np.random.default_rng(4)
+    slide = rng.integers(0, 256, (160, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)  # 2x overlap
+    plain = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                   blend="hann", num_workers=2)
+    banded = BandedSlidingWindow(model, state, tile=TILE, batch_size=4,
+                                 band_h=64, blend="hann", num_workers=2)
+    p_ref, m_ref = plain.run(tiler)
+    p_band, m_band = banded.run(tiler, prob_dtype=np.float32)
+    np.testing.assert_allclose(p_band, p_ref, atol=2e-5)
+    np.testing.assert_array_equal(m_band, m_ref)
+
+
+def test_synthetic_slide_source_streams(model_and_state):
+    """Procedural slide source: deterministic tiles, no O(slide) memory,
+    runs through the banded pipeline end-to-end."""
+    from pdac_pathological_image_segmentation_tpu.data.synthetic import (
+        SyntheticSlideSource,
+    )
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    model, state = model_and_state
+    src = SyntheticSlideSource(size=128, tile=TILE, stride=TILE, seed=1)
+    t0, c0 = src.get(0)
+    t0b, c0b = src.get(0)
+    np.testing.assert_array_equal(t0, t0b)  # deterministic
+    assert t0.shape == (TILE, TILE, 3) and c0 == (0, 0)
+    runner = BandedSlidingWindow(model, state, tile=TILE, batch_size=4,
+                                 band_h=64, blend="uniform", num_workers=2)
+    prob, mask = runner.run(src)
+    assert prob.shape == (128, 128) and prob.dtype == np.float16
+    assert np.isfinite(prob.astype(np.float32)).all()
