@@ -28,11 +28,23 @@ from pdac_pathological_image_segmentation_tpu.infer.wsi import (
 def _load_thumbnail(path: str, max_dim: int = 2048) -> np.ndarray | None:
     try:
         if path.lower().endswith((".svs", ".tif", ".tiff", ".ndpi")):
-            import openslide  # optional C dependency
+            try:
+                # native pyramidal-TIFF reader (tiled TIFF / SVS layouts)
+                from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
+                    TiffSlide,
+                )
 
-            slide = openslide.OpenSlide(path)
-            thumb = slide.get_thumbnail((max_dim, max_dim))
-            return np.asarray(thumb.convert("RGB"), dtype=np.uint8)
+                with TiffSlide(path) as s:
+                    w0, _ = s.dimensions(0)
+                    lv = s.level_for_downsample(max(1.0, w0 / max_dim))
+                    w, h = s.dimensions(lv)
+                    return s.read_region(lv, 0, 0, w, h)
+            except Exception:
+                import openslide  # optional C fallback for exotic formats
+
+                slide = openslide.OpenSlide(path)
+                thumb = slide.get_thumbnail((max_dim, max_dim))
+                return np.asarray(thumb.convert("RGB"), dtype=np.uint8)
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
@@ -59,6 +71,16 @@ def main(argv=None) -> dict:
                         help="banded-canvas multi-chip stitching with ICI "
                         "halo exchange (for slides larger than one chip's "
                         "HBM)")
+    parser.add_argument("--slide", default=None,
+                        help="run directly on a pyramidal TIFF/SVS slide "
+                        "(native tiled reader, streaming O(tile) host "
+                        "memory) instead of the PyHIST tile directory")
+    parser.add_argument("--stride", type=int, default=None,
+                        help="window stride for --slide mode (default: "
+                        "img_size, i.e. no overlap)")
+    parser.add_argument("--export_tiff", action="store_true",
+                        help="also export the probability map as a "
+                        "pyramidal tiled TIFF QuPath can overlay")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -70,9 +92,21 @@ def main(argv=None) -> dict:
     os.makedirs(args.save_path, exist_ok=True)
 
     evaluator = Evaluator(cfg, args.pth_path)
-    source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path, tile=cfg.img_size,
-                              tissue_threshold=cfg.tissue_threshold,
-                              num_workers=cfg.num_worker)
+    if args.slide:
+        from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
+            TiffSlide,
+            TiffSlideSource,
+        )
+
+        source = TiffSlideSource(
+            TiffSlide(args.slide), tile=cfg.img_size, stride=args.stride,
+            tissue_threshold=cfg.tissue_threshold,
+        )
+    else:
+        source = PyHISTTileSource(cfg.tile_path, cfg.tsv_path,
+                                  tile=cfg.img_size,
+                                  tissue_threshold=cfg.tissue_threshold,
+                                  num_workers=cfg.num_worker)
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
             ShardedSlidingWindow,
@@ -95,7 +129,16 @@ def main(argv=None) -> dict:
     prob, mask = runner.run(source)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
-    thumb = _load_thumbnail(cfg.svs_path) if cfg.svs_path else None
+    if args.export_tiff:
+        from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
+            write_probability_tiff,
+        )
+
+        write_probability_tiff(
+            os.path.join(args.save_path, "probability_map.tiff"), prob
+        )
+    slide_path = args.slide or cfg.svs_path
+    thumb = _load_thumbnail(slide_path) if slide_path else None
     if thumb is None:
         thumb = np.full((*[min(s, 2048) for s in mask.shape], 3), 255, np.uint8)
     out = overlay_figure(

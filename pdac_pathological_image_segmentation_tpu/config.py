@@ -86,9 +86,26 @@ class Config:
     # compute dtype for the model ("bfloat16" uses the MXU's native dtype;
     # params/optimizer always fp32)
     compute_dtype: str = "bfloat16"
-    # parity_mode=True reproduces reference quirks bit-for-bit where feasible
-    # (per-rank metrics, best-score reset on resume, ColorJitter on normalized
-    # floats); default mode fixes them (SURVEY.md §5).
+    # parity_mode=True reproduces reference quirks bit-for-bit where
+    # feasible; default mode fixes them (SURVEY.md §5).  Per-quirk coverage:
+    #   REPRODUCED under parity_mode=True —
+    #   * ColorJitter applied to already-normalized floats, no clipping
+    #     (reference train_main.py:73-75; ops/augment.py::train_transform);
+    #   * best-score reset to 0 on resume, so the first post-resume epoch
+    #     always checkpoints "best" (train_worker.py:199-201;
+    #     train/checkpoint.py / train/loop.py);
+    #   * pre-update score: the epoch's train Dice is computed on the
+    #     forward that precedes the optimizer step (train_worker.py:72-76;
+    #     always reproduced — both modes).
+    #   NOT REPRODUCED (fixed in both modes, documented divergence) —
+    #   * per-rank (un-reduced) val metrics and the resulting per-rank
+    #     ReduceLROnPlateau divergence (train_worker.py:110-135): metrics
+    #     here are always globally psum-reduced, so every host sees the
+    #     same plateau decision; emulating rank-local drift would require
+    #     rank-dependent optimizer state, which breaks the SPMD step;
+    #   * the early-stop deadlock (rank 0 breaking out of the epoch loop
+    #     alone): early stop is always driven by the global metric
+    #     (train/loop.py).
     parity_mode: bool = False
     # pretrained encoder weights: path to a torchvision resnet18 state_dict
     # (.pth); None = He init (no network egress on TPU pods).
