@@ -51,6 +51,7 @@ from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from pdac_pathological_image_segmentation_tpu.train.gns import GnsEma
 from pdac_pathological_image_segmentation_tpu.train.objective import (
     make_objective,
 )
@@ -181,6 +182,12 @@ class Trainer:
         self.objective = make_objective(cfg)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        # gradient-noise-scale diagnostic (train/gns.py): config extra
+        # ``gns_every: N`` measures B_simple on the first batch of every
+        # N-th epoch and logs it under Diagnostics/GNS
+        self._gns_every = int(self.cfg.extras.get("gns_every", 0))
+        self._gns_stats = self._build_gns_stats() if self._gns_every else None
+        self._gns_ema = GnsEma() if self._gns_every else None
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------ steps
@@ -202,6 +209,38 @@ class Trainer:
         return make_eval_step(self.model, self.cfg.img_size,
                               objective=self.objective,
                               stain=self.cfg.stain)
+
+    def _build_gns_stats(self):
+        """Per-shard gradient function (no psum — make_gns_stats owns the
+        reductions) over the deterministic eval transform: the measured
+        gradient matches the training objective at the current params on
+        un-augmented pixels (augmentation RNG would add variance that is
+        not minibatch noise)."""
+        from pdac_pathological_image_segmentation_tpu.ops.augment import (
+            eval_transform,
+        )
+        from pdac_pathological_image_segmentation_tpu.train.gns import (
+            make_gns_stats,
+        )
+
+        model, obj, img_size = self.model, self.objective, self.cfg.img_size
+        stain = self.cfg.stain
+
+        def grad_fn(params, batch_stats, image, mask):
+            imgs, msks = eval_transform(image, mask, img_size=img_size,
+                                        stain=stain)
+
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    imgs, train=False,
+                )
+                return obj.loss_fn(out, msks, None)
+
+            return jax.grad(loss_fn)(params)
+
+        return make_gns_stats(grad_fn, self.mesh, self.cfg.batch_size,
+                              n_repl_args=1)
 
     # ------------------------------------------------------------------ loops
 
@@ -280,11 +319,22 @@ class Trainer:
                 else contextlib.nullcontext()
             )
             step_timer.reset()
+            gns_value = None
             with ctx:
                 for step_idx, batch in enumerate(self.train_loader.epoch(epoch)):
                     key = jax.random.fold_in(
                         jax.random.fold_in(base_key, epoch), step_idx
                     )
+                    if (self._gns_stats is not None and step_idx == 0
+                            and epoch % self._gns_every == 0
+                            and batch.image.shape[0] == self.cfg.batch_size):
+                        stats = self._gns_stats(
+                            self.state.params, self.state.batch_stats,
+                            batch.image, batch.mask,
+                        )
+                        gns_value = self._gns_ema.update(
+                            jax.device_get(stats)
+                        )
                     step_timer.start()
                     self.state, loss, score = self._train_step(
                         self.state, key, batch.image, batch.mask, batch.valid
@@ -316,6 +366,9 @@ class Trainer:
                 self.writer.add_scalar("Loss/Train_Loss", train_loss, epoch + 1)
                 self.writer.add_scalar("Score/Validation_Score", val_score, epoch + 1)
                 self.writer.add_scalar("Loss/Validation_Loss", val_loss, epoch + 1)
+                if gns_value is not None and gns_value == gns_value:
+                    self.writer.add_scalar("Diagnostics/GNS", gns_value,
+                                           epoch + 1)
                 self.writer.flush()
 
             is_best = val_score > previous_best
