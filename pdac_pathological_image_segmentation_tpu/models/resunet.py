@@ -59,6 +59,48 @@ class PointwiseHead(nn.Module):
         return jnp.einsum("nhwc,cf->nhwf", x, k) + b
 
 
+class ConcatConv(nn.Module):
+    """3×3 conv over a channel-concat ``[a, b]`` without materializing the
+    concat.
+
+    ``conv(concat(a, b), W) ≡ conv(a, W[:,:,:Ca]) + conv(b, W[:,:,Ca:])`` —
+    exact up to f32-accumulator addition order.  XLA:TPU materializes a
+    concatenate feeding a convolution as a real HBM tensor (at bs=512/512²
+    the three decoder concats total ~3.7 GB of extra write+read traffic per
+    step); splitting the conv reads each operand once from where it already
+    lives and fuses the add into the second conv's epilogue.
+
+    The parameter tree (``kernel`` (3,3,Ca+Cb,F) + ``bias`` (F,)) is
+    identical to ``nn.Conv(F, (3,3), padding=1)`` over the concat, so
+    checkpoints and the reference ``.pth`` converter are unaffected
+    (reference decoder convs: ``models/resunet.py:36-46``)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    split: bool = True
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, ca + cb, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+
+        def conv(x, kk):
+            return jax.lax.conv_general_dilated(
+                x, kk, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if self.split:
+            y = conv(a, k[:, :, :ca]) + conv(b, k[:, :, ca:])
+        else:
+            y = conv(jnp.concatenate([a, b], axis=-1), k)
+        return y + bias.astype(self.dtype)
+
+
 class ResUNet(nn.Module):
     num_classes: int = 1
     output_size: int = 512
@@ -76,13 +118,13 @@ class ResUNet(nn.Module):
         self.encoder = ResNetEncoder(backbone=self.backbone, dtype=self.dtype)
         self.upconv1 = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
                                         padding="VALID", dtype=self.dtype)
-        self.conv1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)
+        self.conv1 = ConcatConv(256, dtype=self.dtype)
         self.upconv2 = nn.ConvTranspose(128, (2, 2), strides=(2, 2),
                                         padding="VALID", dtype=self.dtype)
-        self.conv2 = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)
+        self.conv2 = ConcatConv(128, dtype=self.dtype)
         self.upconv3 = nn.ConvTranspose(64, (2, 2), strides=(2, 2),
                                         padding="VALID", dtype=self.dtype)
-        self.conv3 = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)
+        self.conv3 = ConcatConv(64, dtype=self.dtype)
         self.conv4 = PointwiseHead(self.num_classes, dtype=self.dtype)
 
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -92,15 +134,11 @@ class ResUNet(nn.Module):
         return self._decode(x2, x3, x4, x5)
 
     def _decode(self, x2, x3, x4, x5) -> jax.Array:
-        y = self.upconv1(x5)
-        y = jnp.concatenate([y, x4], axis=-1)
-        y = nn.relu(self.conv1(y))
-        y = self.upconv2(y)
-        y = jnp.concatenate([y, x3], axis=-1)
-        y = nn.relu(self.conv2(y))
-        y = self.upconv3(y)
-        y = jnp.concatenate([y, x2], axis=-1)
-        y = nn.relu(self.conv3(y))
+        # concat(upsampled, skip) → conv runs as a split conv-sum
+        # (ConcatConv): same math, no materialized concat tensors
+        y = nn.relu(self.conv1(self.upconv1(x5), x4))
+        y = nn.relu(self.conv2(self.upconv2(y), x3))
+        y = nn.relu(self.conv3(self.upconv3(y), x2))
         return y
 
     def forward_pooled(self, pooled: jax.Array,
