@@ -36,9 +36,14 @@ def main() -> None:
     )
 
     # the north-star metric is the U-Net tile→mask path (BASELINE.json);
-    # model comparison at bs=128: unet 3603, fpn 2457 patches/s (r1 measured)
+    # model comparison at bs=128: unet 3603, fpn 2457 patches/s (r1 measured).
+    # Serving config: bf16 compute + bf16 output head (halves the HBM
+    # traffic of the 4× upsample + sigmoid output path; probability masks
+    # round-trip through bf16, Dice-immaterial — head_dtype option in
+    # models/resunet.py).
     cfg = Config(model="unet", backbone="resnet18", img_size=512,
                  compute_dtype="bfloat16")
+    cfg.extras["head_dtype"] = "bfloat16"
     model = build_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
     state = jax.device_put(state)
@@ -72,7 +77,7 @@ def main() -> None:
     _ = float(out[0, 0, 0])
 
     n_iters = 48
-    depth = 6  # steps in flight; the fetch forces in-order completion
+    depth = 8  # steps in flight; the fetch forces in-order completion
     t0 = time.perf_counter()
     for i in range(0, n_iters, depth):
         outs = [step_l(state, x) for _ in range(depth)]
@@ -128,6 +133,61 @@ def bench_train() -> None:
         "value": round(n * batch / dt, 1),
         "unit": "patches/s",
         "vs_baseline": None,
+    }))
+
+
+def bench_int8() -> None:
+    """Opt-in int8 quantized serving throughput (infer/quantized.py):
+    post-training per-channel weight + calibrated per-tensor activation
+    quantization, int32 MXU accumulation.  Reported NEXT TO the bf16
+    headline (vs_baseline refers to the same 5,000 north star; mask
+    agreement/Dice delta pinned by tests/test_quantized.py)."""
+    import numpy as np
+
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.infer.quantized import (
+        calibrate,
+        make_quantized_infer_step,
+        quantize_resunet,
+    )
+    from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = Config(model="unet", backbone="resnet18", img_size=512,
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    state = jax.device_put(
+        create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
+    rng = np.random.default_rng(0)
+    batch = 512
+    x = jax.device_put(
+        rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
+    calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
+    scales = calibrate(state.params, state.batch_stats, [calib], 512)
+    bundle = quantize_resunet(state.params, state.batch_stats, scales)
+    step = make_quantized_infer_step(state.params, state.batch_stats,
+                                     bundle, 512)
+    out = step(x)
+    _ = float(out[0, 0, 0])
+    n_iters, depth = 48, 8
+    t0 = time.perf_counter()
+    for i in range(0, n_iters, depth):
+        outs = [step(x) for _ in range(depth)]
+        _ = float(outs[-1][0, 0, 0])
+    dt = time.perf_counter() - t0
+    pps = n_iters * batch / dt
+    print(json.dumps({
+        "metric": "512x512 patches/sec/chip tile->mask (unet int8 "
+                  "quantized serving, bs=512)",
+        "value": round(pps, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(pps / TARGET, 3),
     }))
 
 
@@ -194,7 +254,7 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="infer",
-                        choices=("infer", "train", "wsi"))
+                        choices=("infer", "train", "wsi", "int8"))
     parser.add_argument("--size", type=int, default=8192,
                         help="WSI side length for --mode wsi")
     args = parser.parse_args()
@@ -202,5 +262,7 @@ if __name__ == "__main__":
         main()
     elif args.mode == "train":
         bench_train()
+    elif args.mode == "int8":
+        bench_int8()
     else:
         bench_wsi(args.size)

@@ -1,0 +1,238 @@
+"""Post-training int8 quantized inference for the flagship ResUNet
+(ROADMAP #6: quantized serving).
+
+The v5e MXU runs int8 contractions at ~2× the bf16 rate (measured on this
+harness: 1.3–1.7× end-to-end per conv shape, XLA int8 conv with int32
+accumulators).  This module quantizes the conv-heavy path of the ResUNet
+inference step post-training:
+
+* **weights**: symmetric per-output-channel int8
+  (``scale_f = amax|W[...,f]| / 127``);
+* **activations**: symmetric per-tensor int8, scales from a short
+  calibration pass over representative batches (amax, elementwise max
+  across batches);
+* **accumulation**: int32 on the MXU, dequantized in the conv epilogue
+  (XLA fuses ``int32→f32·(s_x·s_w)`` into the conv output), BatchNorm's
+  inference affine and biases applied in float exactly as the bf16 path;
+* quantized sites: stem 7×7 + every encoder 3×3/1×1 conv + the decoder
+  ``ConcatConv`` pairs.  Upsamples, the 1×1 head, and the 4× bilinear
+  resize stay bf16 (minor share of runtime, keeps mask numerics tight).
+
+This is an **opt-in serving mode**: the honest flagship bench stays bf16;
+``bench.py --mode int8`` reports the quantized number next to it, and
+``tests/test_quantized.py`` pins the mask agreement and Dice delta vs the
+bf16 path.
+
+The forward here is a functional mirror of ``models/resunet.py`` +
+``models/resnet.py`` (reference topology ``models/resunet.py:23-57``);
+drift is impossible to miss because the calibration-mode forward is tested
+to match ``model.apply`` exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdac_pathological_image_segmentation_tpu.config import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from pdac_pathological_image_segmentation_tpu.models.resnet import BN_EPS
+from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, k, stride=1, pad=1):
+    padding = ((pad, pad), (pad, pad)) if pad else "VALID"
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), padding, dimension_numbers=_DN)
+
+
+def _conv_i8(x, xscale, kq, kscale, stride=1, pad=1):
+    """int8 conv with int32 accumulation, dequantized epilogue."""
+    xq = jnp.clip(jnp.round(x / xscale), -127, 127).astype(jnp.int8)
+    padding = ((pad, pad), (pad, pad)) if pad else "VALID"
+    yi = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    return yi.astype(jnp.float32) * (xscale * kscale)
+
+
+def _bn_affine(bn_params, bn_stats):
+    a = bn_params["scale"] * jax.lax.rsqrt(bn_stats["var"] + BN_EPS)
+    b = bn_params["bias"] - bn_stats["mean"] * a
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def quantize_weights(kernel) -> tuple[jax.Array, jax.Array]:
+    """HWIO kernel → (int8 kernel, per-output-channel f32 scale)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    kq = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return kq, scale
+
+
+class _Ctx:
+    """Conv dispatcher: float mode records per-site amax (calibration),
+    int8 mode quantizes with the calibrated scales."""
+
+    def __init__(self, mode: str, act_scales=None, qweights=None):
+        assert mode in ("float", "int8")
+        self.mode = mode
+        self.act_scales = act_scales or {}
+        self.qweights = qweights or {}
+        self.stats: Dict[str, jax.Array] = {}
+
+    def conv(self, name, x, kernel, stride=1, pad=1):
+        if self.mode == "float":
+            self.stats[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            return _conv(x, kernel.astype(x.dtype), stride, pad)
+        kq, ks = self.qweights[name]
+        return _conv_i8(x.astype(jnp.float32), self.act_scales[name],
+                        kq, ks, stride, pad)
+
+
+def _basic_block(ctx, p, s, x, name, stride=1):
+    a1, b1 = _bn_affine(p["bn1"], s["bn1"])
+    a2, b2 = _bn_affine(p["bn2"], s["bn2"])
+    y = ctx.conv(f"{name}.conv1", x, p["conv1"]["kernel"], stride, 1)
+    y = jnp.maximum(y * a1 + b1, 0.0)
+    y = ctx.conv(f"{name}.conv2", y, p["conv2"]["kernel"], 1, 1)
+    y = y * a2 + b2
+    if "downsample_conv" in p:
+        ad, bd = _bn_affine(p["downsample_bn"], s["downsample_bn"])
+        r = ctx.conv(f"{name}.ds", x, p["downsample_conv"]["kernel"],
+                     stride, 0)
+        r = r * ad + bd
+    else:
+        r = x
+    return jnp.maximum(y + r, 0.0)
+
+
+def _concat_conv(ctx, p, name, a, b):
+    ca = a.shape[-1]
+    k = p["kernel"]
+    ya = ctx.conv(f"{name}.a", a, k[:, :, :ca], 1, 1)
+    yb = ctx.conv(f"{name}.b", b, k[:, :, ca:], 1, 1)
+    return ya + yb + p["bias"].astype(jnp.float32)
+
+
+def _upconv(p, x):
+    # einsum + pixel-shuffle == flax ConvTranspose(k2,s2,VALID) with the
+    # spatially flipped kernel (models/resunet.UpConv)
+    n, h, w, _ = x.shape
+    k = p["kernel"][::-1, ::-1].astype(x.dtype)
+    f = k.shape[-1]
+    z = jnp.einsum("nhwc,ijcf->nhiwjf", x, k).reshape(n, 2 * h, 2 * w, f)
+    return z + p["bias"].astype(x.dtype)
+
+
+def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
+                    output_size: int):
+    """uint8 NHWC → sigmoid probability masks; mirrors
+    ``ResUNet.__call__(train=False)`` (reference ``models/resunet.py:23-57``:
+    stem skip unused, head at 1/4 res, single 4× bilinear)."""
+    e, es = params["encoder"], batch_stats["encoder"]
+    mean = jnp.asarray(255.0 * np.asarray(IMAGENET_MEAN), jnp.float32)
+    std = jnp.asarray(255.0 * np.asarray(IMAGENET_STD), jnp.float32)
+    x = (image_u8.astype(jnp.float32) - mean) / std
+
+    a0, b0 = _bn_affine(e["bn1"], es["bn1"])
+    y = ctx.conv("stem", x, e["conv1"]["kernel"], 2, 3)
+    y = jnp.maximum(y * a0 + b0, 0.0)
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    feats = []
+    for li, blocks in enumerate(((0, 1), (0, 1), (0, 1), (0, 1))):
+        for bi in blocks:
+            name = f"layer{li + 1}_{bi}"
+            stride = 2 if (li > 0 and bi == 0) else 1
+            y = _basic_block(ctx, e[name], es[name], y, name, stride)
+        feats.append(y)
+    x2, x3, x4, x5 = feats
+
+    y = _upconv(params["upconv1"], x5)
+    y = jnp.maximum(_concat_conv(ctx, params["conv1"], "dec1", y, x4), 0.0)
+    y = _upconv(params["upconv2"], y)
+    y = jnp.maximum(_concat_conv(ctx, params["conv2"], "dec2", y, x3), 0.0)
+    y = _upconv(params["upconv3"], y)
+    y = jnp.maximum(_concat_conv(ctx, params["conv3"], "dec3", y, x2), 0.0)
+
+    k4 = params["conv4"]["kernel"][0, 0].astype(y.dtype)  # (64, 1)
+    logits = jnp.einsum("nhwc,c->nhw", y, k4[:, 0]) + params["conv4"]["bias"][0]
+    logits = resize_bilinear(logits[..., None].astype(jnp.float32),
+                             output_size, output_size)
+    return jax.nn.sigmoid(logits[..., 0])
+
+
+def calibrate(params, batch_stats, batches, output_size: int):
+    """Run the float-mode mirror over ``batches`` of uint8 images and
+    return per-site activation scales (amax/127, max across batches)."""
+    scales: Dict[str, float] = {}
+
+    @jax.jit
+    def one(image):
+        ctx = _Ctx("float")
+        out = resunet_forward(ctx, params, batch_stats, image, output_size)
+        return out, ctx.stats
+
+    for image in batches:
+        _, stats = one(jnp.asarray(image))
+        for k, v in stats.items():
+            scales[k] = max(scales.get(k, 0.0), float(v))
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in scales.items()}
+
+
+def quantize_resunet(params, batch_stats, act_scales):
+    """Quantize every conv site's weights; returns the bundle consumed by
+    :func:`make_quantized_infer_step`."""
+    e = params["encoder"]
+    qw = {"stem": quantize_weights(e["conv1"]["kernel"])}
+    for li in range(1, 5):
+        for bi in range(2):
+            name = f"layer{li}_{bi}"
+            p = e[name]
+            qw[f"{name}.conv1"] = quantize_weights(p["conv1"]["kernel"])
+            qw[f"{name}.conv2"] = quantize_weights(p["conv2"]["kernel"])
+            if "downsample_conv" in p:
+                qw[f"{name}.ds"] = quantize_weights(
+                    p["downsample_conv"]["kernel"])
+    for di, cname in ((1, "conv1"), (2, "conv2"), (3, "conv3")):
+        k = params[cname]["kernel"]
+        ca = k.shape[2] // 2
+        qw[f"dec{di}.a"] = quantize_weights(k[:, :, :ca])
+        qw[f"dec{di}.b"] = quantize_weights(k[:, :, ca:])
+    return {"qweights": qw, "act_scales": dict(act_scales)}
+
+
+def make_quantized_infer_step(params, batch_stats, bundle,
+                              output_size: int):
+    """jitted ``step(image_u8) → probs`` on the int8 path."""
+    act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
+
+    @jax.jit
+    def step(image):
+        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])
+        return resunet_forward(ctx, params, batch_stats, image, output_size)
+
+    return step
+
+
+def make_float_infer_step(params, batch_stats, output_size: int):
+    """jitted float-mode mirror (for parity tests vs ``model.apply``)."""
+
+    @jax.jit
+    def step(image):
+        ctx = _Ctx("float")
+        return resunet_forward(ctx, params, batch_stats, image, output_size)
+
+    return step

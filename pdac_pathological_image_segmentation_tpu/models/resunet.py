@@ -101,6 +101,39 @@ class ConcatConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class UpConv(nn.Module):
+    """2× upsample: ``ConvTranspose(k=2, s=2, VALID)`` computed as an einsum
+    + pixel-shuffle reshape.
+
+    A k2/s2 transposed conv has no tap overlap — every output pixel is one
+    ``C×F`` contraction — so it is exactly ``x @ W'`` to (N,H,W,2,2,F)
+    followed by an interleaving reshape.  XLA:TPU lowers the einsum to a
+    full-utilization MXU matmul, where the ``lax.conv_transpose`` lowering
+    (input dilation) wastes cycles on inserted zeros (measured 45.3 vs
+    23.9 ms isolated at bs=512 on the 64²·128ch decoder stage).
+
+    Parameter tree is identical to ``nn.ConvTranspose`` (``kernel``
+    (2,2,C,F) + ``bias`` (F,)); ``W'`` is the spatially flipped kernel —
+    ``lax.conv_transpose(transpose_kernel=False)`` correlates with the
+    flipped taps (verified vs flax on CPU), so checkpoints and the
+    reference ``.pth`` converter are unaffected."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        z = jnp.einsum("nhwc,ijcf->nhiwjf", x, k)
+        z = z.reshape(n, 2 * h, 2 * w, self.features)
+        return z + bias.astype(self.dtype)
+
+
 class ResUNet(nn.Module):
     num_classes: int = 1
     output_size: int = 512
@@ -113,17 +146,27 @@ class ResUNet(nn.Module):
     head_dtype: Any = jnp.float32
     # allow the fused Pallas stem on the inference path (cfg.use_pallas)
     use_pallas: bool = True
+    # decoder upsamples as einsum+pixel-shuffle (UpConv) instead of
+    # lax.conv_transpose — same params/math, different lowering.  Off by
+    # default: einsum wins isolated (23.9 vs 45.3 ms) but LOSES in-model
+    # (4,342 vs 4,440 patches/s end-to-end) — XLA fuses the transposed conv
+    # with the neighboring ConcatConv adds; keep-whichever-wins
+    upconv_einsum: bool = False
 
     def setup(self) -> None:
         self.encoder = ResNetEncoder(backbone=self.backbone, dtype=self.dtype)
-        self.upconv1 = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
-                                        padding="VALID", dtype=self.dtype)
+
+        def up(features):
+            if self.upconv_einsum:
+                return UpConv(features, dtype=self.dtype)
+            return nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+                                    padding="VALID", dtype=self.dtype)
+
+        self.upconv1 = up(256)
         self.conv1 = ConcatConv(256, dtype=self.dtype)
-        self.upconv2 = nn.ConvTranspose(128, (2, 2), strides=(2, 2),
-                                        padding="VALID", dtype=self.dtype)
+        self.upconv2 = up(128)
         self.conv2 = ConcatConv(128, dtype=self.dtype)
-        self.upconv3 = nn.ConvTranspose(64, (2, 2), strides=(2, 2),
-                                        padding="VALID", dtype=self.dtype)
+        self.upconv3 = up(64)
         self.conv3 = ConcatConv(64, dtype=self.dtype)
         self.conv4 = PointwiseHead(self.num_classes, dtype=self.dtype)
 
