@@ -63,17 +63,36 @@ def main() -> None:
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
 
+    from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        compile_serving,
+    )
+
     fmt = Format(Layout(major_to_minor=(1, 2, 3, 0)),
                  SingleDeviceSharding(jax.devices()[0]))
     x = jax.device_put(
-        rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8), fmt
+        rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8)
     )
-    step_l = jax.jit(lambda s, im: step(s, im), in_shardings=(None, fmt))
+    # Pin the stem's preferred input layout by relayouting ON DEVICE (a
+    # jitted identity with out_shardings) — device_put(..., Format) is
+    # unreliable for multi-GB transfers on this relay (sometimes returns a
+    # different layout, which the AOT-compiled step then rejects).  If
+    # anything about layout pinning misbehaves, fall back to the default
+    # layout (XLA inserts one relayout copy, ~2.5 ms/step).
+    try:
+        x_l = jax.jit(lambda a: a, out_shardings=fmt)(x)
+        step_l = compile_serving(
+            jax.jit(lambda s, im: step(s, im), in_shardings=(None, fmt)),
+            state, x_l,
+        )
+        out = step_l(state, x_l)  # validates executable/arg layouts agree
+        x = x_l
+    except Exception:
+        step_l = compile_serving(jax.jit(step), state, x)
+        out = step_l(state, x)
 
-    # warmup/compile.  NOTE: jax.block_until_ready is a no-op on the axon
-    # relay backend, so completion is forced by fetching one output element
-    # (conservative: adds one host round-trip per fetch).
-    out = step_l(state, x)
+    # warmup/compile happened above.  NOTE: jax.block_until_ready is a
+    # no-op on the axon relay backend, so completion is forced by fetching
+    # one output element (conservative: adds one host round-trip per fetch).
     _ = float(out[0, 0, 0])
 
     n_iters = 48
@@ -108,15 +127,20 @@ def bench_train() -> None:
     )
 
     enable_compile_cache()
+    from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        compile_serving,
+    )
+
     cfg = Config(model="unet", img_size=512, compute_dtype="bfloat16")
     model = build_model(cfg)
     state = jax.device_put(create_train_state(cfg, model, jax.random.PRNGKey(0)))
-    step = make_train_step(model, 512, donate=True)
-    batch = 512
+    batch = 256  # largest fwd+bwd batch that fits 16 GB HBM without remat
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     m = jax.device_put(rng.integers(0, 2, (batch, 512, 512), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
+    step = compile_serving(make_train_step(model, 512, donate=True),
+                           state, key, x, m)
     state, loss, _ = step(state, key, x, m)
     _ = float(loss)  # compile + completion
     n = 0
@@ -165,14 +189,19 @@ def bench_int8() -> None:
     state = jax.device_put(
         create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
     rng = np.random.default_rng(0)
-    batch = 512
+    batch = 256  # int8 weights + bf16 activations: bs=256 fits 16 GB HBM
     x = jax.device_put(
         rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
     scales = calibrate(state.params, state.batch_stats, [calib], 512)
     bundle = quantize_resunet(state.params, state.batch_stats, scales)
-    step = make_quantized_infer_step(state.params, state.batch_stats,
-                                     bundle, 512)
+    from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        compile_serving,
+    )
+
+    step = compile_serving(
+        make_quantized_infer_step(state.params, state.batch_stats,
+                                  bundle, 512), x)
     out = step(x)
     _ = float(out[0, 0, 0])
     n_iters, depth = 48, 8
@@ -184,7 +213,7 @@ def bench_int8() -> None:
     pps = n_iters * batch / dt
     print(json.dumps({
         "metric": "512x512 patches/sec/chip tile->mask (unet int8 "
-                  "quantized serving, bs=512)",
+                  "quantized serving, bs=256)",
         "value": round(pps, 1),
         "unit": "patches/s",
         "vs_baseline": round(pps / TARGET, 3),

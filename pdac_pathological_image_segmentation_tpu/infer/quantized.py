@@ -86,6 +86,11 @@ class _Ctx:
     def __init__(self, mode: str, act_scales=None, qweights=None):
         assert mode in ("float", "int8")
         self.mode = mode
+        # int8 mode stores inter-site activations in bf16 (the dequantized
+        # values re-quantize at the next site anyway; halves the HBM
+        # footprint so bs≥256 fits alongside the int8 weight copies).
+        # Float mode keeps f32 for the exact-parity contract vs model.apply.
+        self.act_dtype = jnp.float32 if mode == "float" else jnp.bfloat16
         self.act_scales = act_scales or {}
         self.qweights = qweights or {}
         self.stats: Dict[str, jax.Array] = {}
@@ -98,12 +103,16 @@ class _Ctx:
         return _conv_i8(x.astype(jnp.float32), self.act_scales[name],
                         kq, ks, stride, pad)
 
+    def act(self, y):
+        """Cast a post-affine activation to the inter-site storage dtype."""
+        return y.astype(self.act_dtype)
+
 
 def _basic_block(ctx, p, s, x, name, stride=1):
     a1, b1 = _bn_affine(p["bn1"], s["bn1"])
     a2, b2 = _bn_affine(p["bn2"], s["bn2"])
     y = ctx.conv(f"{name}.conv1", x, p["conv1"]["kernel"], stride, 1)
-    y = jnp.maximum(y * a1 + b1, 0.0)
+    y = ctx.act(jnp.maximum(y * a1 + b1, 0.0))
     y = ctx.conv(f"{name}.conv2", y, p["conv2"]["kernel"], 1, 1)
     y = y * a2 + b2
     if "downsample_conv" in p:
@@ -113,7 +122,7 @@ def _basic_block(ctx, p, s, x, name, stride=1):
         r = r * ad + bd
     else:
         r = x
-    return jnp.maximum(y + r, 0.0)
+    return ctx.act(jnp.maximum(y + r.astype(y.dtype), 0.0))
 
 
 def _concat_conv(ctx, p, name, a, b):
@@ -121,7 +130,7 @@ def _concat_conv(ctx, p, name, a, b):
     k = p["kernel"]
     ya = ctx.conv(f"{name}.a", a, k[:, :, :ca], 1, 1)
     yb = ctx.conv(f"{name}.b", b, k[:, :, ca:], 1, 1)
-    return ya + yb + p["bias"].astype(jnp.float32)
+    return ctx.act(ya + yb + p["bias"].astype(jnp.float32))
 
 
 def _upconv(p, x):
@@ -146,7 +155,7 @@ def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
 
     a0, b0 = _bn_affine(e["bn1"], es["bn1"])
     y = ctx.conv("stem", x, e["conv1"]["kernel"], 2, 3)
-    y = jnp.maximum(y * a0 + b0, 0.0)
+    y = ctx.act(jnp.maximum(y * a0 + b0, 0.0))
     y = jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -1,0 +1,35 @@
+"""TPU serving-path compiler options.
+
+XLA:TPU's default scoped-VMEM budget (the window the scheduler may use to
+stage fusion operands/results on-chip) leaves the v5e inference program's
+convolutions stalling on HBM: raising it to 48 MiB measured **+7.8%
+end-to-end** on the bs=512 flagship step (107.0 ms vs 115.3; sweep:
+32→?, 48→4784, 64→4756, 96→4615 patches/s — too large crowds out conv
+double-buffering, too small starves operand prefetch).
+
+These options ride per-compile (``jitted.lower(...).compile(...)``), NOT
+``XLA_FLAGS`` — TPU-only flag names crash non-TPU local XLA parsing, and
+the axon relay forwards proto-backed per-compile options to the remote
+compiler.  :func:`compile_serving` falls back to the plain jit path on
+backends that reject the options (CPU tests, older libtpu).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+SERVING_COMPILER_OPTIONS: Mapping[str, str] = {
+    "xla_tpu_scoped_vmem_limit_kib": "49152",
+}
+
+
+def compile_serving(jitted: Any, *example_args: Any,
+                    options: Mapping[str, str] | None = None) -> Any:
+    """AOT-compile ``jitted`` with the serving compiler options; returns
+    the compiled executable (callable).  Falls back to ``jitted`` itself
+    if the backend rejects the options."""
+    opts = dict(options or SERVING_COMPILER_OPTIONS)
+    try:
+        return jitted.lower(*example_args).compile(compiler_options=opts)
+    except Exception:
+        return jitted

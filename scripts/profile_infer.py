@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--model", default="unet")
     p.add_argument("--trace", action="store_true")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--serving", action="store_true",
+                   help="bf16 head + serving compiler options "
+                        "(utils/compile_options.py) — the bench.py config")
     args = p.parse_args()
 
     from pdac_pathological_image_segmentation_tpu.config import Config
@@ -52,6 +55,8 @@ def main() -> None:
     enable_compile_cache()
     cfg = Config(model=args.model, backbone="resnet18", img_size=512,
                  compute_dtype="bfloat16")
+    if args.serving:
+        cfg.extras["head_dtype"] = "bfloat16"
     model = build_model(cfg)
     state = jax.device_put(create_train_state(cfg, model, jax.random.PRNGKey(0)))
     step = make_infer_step(model, cfg.img_size)
@@ -60,6 +65,24 @@ def main() -> None:
     x = jax.device_put(
         rng.integers(0, 256, (args.batch, 512, 512, 3), dtype=np.uint8)
     )
+    if args.serving:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+            compile_serving,
+        )
+
+        fmt = Format(Layout(major_to_minor=(1, 2, 3, 0)),
+                     SingleDeviceSharding(jax.devices()[0]))
+        # on-device relayout — device_put(..., Format) is unreliable for
+        # multi-GB transfers on the relay (see bench.py)
+        x = jax.jit(lambda a: a, out_shardings=fmt)(x)
+        inner = step
+        step = compile_serving(
+            jax.jit(lambda s, im: inner(s, im), in_shardings=(None, fmt)),
+            state, x,
+        )
 
     t0 = time.perf_counter()
     out = step(state, x)

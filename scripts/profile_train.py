@@ -16,6 +16,8 @@ def main() -> None:
     p.add_argument("--trace", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--serving_opts", action="store_true",
+                   help="apply utils/compile_options.py compiler options")
     args = p.parse_args()
 
     from pdac_pathological_image_segmentation_tpu.config import Config
@@ -48,6 +50,13 @@ def main() -> None:
     x = jax.device_put(rng.integers(0, 256, (b, 512, 512, 3), dtype=np.uint8))
     m = jax.device_put(rng.integers(0, 2, (b, 512, 512), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
+
+    if args.serving_opts:
+        from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+            compile_serving,
+        )
+
+        step = compile_serving(step, state, key, x, m)
 
     t0 = time.perf_counter()
     state, loss, score = step(state, key, x, m)

@@ -54,3 +54,17 @@ def test_unknown_keys_preserved():
 
 def test_dilations_list():
     assert Config(dilations=[12, 24, 36]).dilations == (12, 24, 36)
+
+
+def test_compile_serving_fallback_cpu():
+    """compile_serving applies TPU compiler options when the backend takes
+    them and falls back to the plain jitted callable otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        compile_serving,
+    )
+
+    fn = compile_serving(jax.jit(lambda x: x + 1), jnp.zeros((4,)))
+    assert float(fn(jnp.zeros((4,)))[0]) == 1.0
