@@ -81,6 +81,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--export_tiff", action="store_true",
                         help="also export the probability map as a "
                         "pyramidal tiled TIFF QuPath can overlay")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 quantized serving path (model: unet "
+                        "only; calibrates activation scales on the first "
+                        "tiles — ~1.15x throughput on v5e, mask agreement "
+                        "pinned by tests/test_quantized.py)")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -107,6 +112,27 @@ def main(argv=None) -> dict:
                                   tile=cfg.img_size,
                                   tissue_threshold=cfg.tissue_threshold,
                                   num_workers=cfg.num_worker)
+    infer_step = None
+    if args.int8:
+        if cfg.model != "unet":
+            raise SystemExit("--int8 requires model: unet (the quantized "
+                             "mirror covers the flagship ResUNet)")
+        if args.sharded:
+            raise SystemExit("--int8 and --sharded are mutually exclusive")
+        from pdac_pathological_image_segmentation_tpu.infer import (
+            quantized as q,
+        )
+
+        n_cal = min(len(source), 16)
+        calib = np.stack([source.get(i)[0] for i in range(n_cal)])
+        params = evaluator.state.params
+        bstats = evaluator.state.batch_stats
+        scales = q.calibrate(params, bstats, [calib], cfg.img_size)
+        bundle = q.quantize_resunet(params, bstats, scales)
+        qstep = q.make_quantized_infer_step(params, bstats, bundle,
+                                            cfg.img_size)
+        infer_step = lambda s, im: qstep(im)  # noqa: E731
+
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
             ShardedSlidingWindow,
@@ -125,6 +151,7 @@ def main(argv=None) -> dict:
             evaluator.model, evaluator.state, tile=cfg.img_size,
             batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
             num_workers=cfg.num_worker, stain=cfg.stain,
+            infer_step=infer_step,
         )
     prob, mask = runner.run(source)
 

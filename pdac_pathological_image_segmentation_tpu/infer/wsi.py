@@ -191,7 +191,11 @@ class SlidingWindowInference:
 
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  tta: bool = False, blend: str = "hann",
-                 num_workers: int = 8, stain: str = "none") -> None:
+                 num_workers: int = 8, stain: str = "none",
+                 infer_step=None) -> None:
+        """``infer_step``: optional ``step(state, images_u8) → probs``
+        override replacing the default fused tile→mask step — e.g. the
+        int8 quantized path (``infer/quantized.py``)."""
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -201,7 +205,7 @@ class SlidingWindowInference:
         self.batch_size = batch_size
         self.blend = blend
         self._infer = _make_tta_infer(
-            make_infer_step(model, tile, stain=stain), tta
+            infer_step or make_infer_step(model, tile, stain=stain), tta
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 

@@ -113,3 +113,28 @@ def test_quantized_dice_delta_end_to_end(tmp_path):
     d_f = float(dice_score(fprob >= 0.5, mask))
     d_q = float(dice_score(qprob >= 0.5, mask))
     assert abs(d_f - d_q) < 0.02, f"Dice delta {abs(d_f - d_q):.4f}"
+
+
+def test_int8_sliding_window_inference(setup):
+    """The quantized step drops into SlidingWindowInference via the
+    ``infer_step`` override (the overlay CLI's --int8 path)."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        GridTiler,
+        SlidingWindowInference,
+    )
+
+    model, state, image = setup
+    slide = np.asarray(image[0])  # (SIZE, SIZE, 3) uint8
+    scales = calibrate(state.params, state.batch_stats, [image], SIZE)
+    bundle = quantize_resunet(state.params, state.batch_stats, scales)
+    qstep = make_quantized_infer_step(state.params, state.batch_stats,
+                                      bundle, SIZE)
+    source = GridTiler(slide, tile=SIZE, stride=SIZE)
+    ref_prob, _ = SlidingWindowInference(
+        model, state, tile=SIZE, batch_size=2, blend="uniform",
+        num_workers=1).run(source)
+    q_prob, _ = SlidingWindowInference(
+        model, state, tile=SIZE, batch_size=2, blend="uniform",
+        num_workers=1, infer_step=lambda s, im: qstep(im)).run(source)
+    agree = np.mean((q_prob >= 0.5) == (ref_prob >= 0.5))
+    assert agree > 0.98, f"mask agreement {agree:.4f}"
