@@ -34,7 +34,9 @@ def build_model(cfg: Config) -> nn.Module:
                        backbone="resnet18", dtype=dtype,
                        head_dtype=head_dtype,
                        use_pallas=cfg.use_pallas
-                       and bool(cfg.extras.get("fused_stem", False)))
+                       and bool(cfg.extras.get("fused_stem", False)),
+                       stage0_residual_barrier=bool(
+                           cfg.extras.get("layer1_barrier", False)))
     if cfg.model == "fpn":
         # Pallas GN wins standalone (1.65 vs 3.06 ms) but loses in-model
         # (59.9 vs 52.1 ms/step): the custom call forces standard layouts,

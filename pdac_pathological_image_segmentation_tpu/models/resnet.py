@@ -42,6 +42,11 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    # keep the residual add OUT of conv2's output fusion: under the serving
+    # scoped-vmem compiler option, XLA's conv2+BN+add+relu mega-fusion for
+    # the 128² C=64 stages stalls (10.0 vs 6.2 ms at bs=512) — a barrier
+    # splits it into a clean conv fusion + an elementwise pass
+    residual_barrier: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -65,6 +70,8 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=self.dtype, name="bn2",
         )(y)
+        if self.residual_barrier:
+            y = jax.lax.optimization_barrier(y)
         if residual.shape[-1] != self.channels or self.strides != 1:
             residual = nn.Conv(
                 self.channels, (1, 1), strides=(self.strides, self.strides),
@@ -167,6 +174,9 @@ class ResNetEncoder(nn.Module):
 
     backbone: str = "resnet18"
     output_stride: int = 32
+    # serving-path scheduling workaround: barrier the residual adds of the
+    # first (128², C=64) stage out of their conv fusions (see BasicBlock)
+    stage0_residual_barrier: bool = False
     # exact space-to-depth stem rewrite — measured SLOWER than XLA's own
     # handling of the 7×7/2 stem on v5e (3,448 vs 3,603 patches/s end-to-end,
     # r1 bench): the s2d re-layout costs more HBM traffic than the fuller MXU
@@ -217,12 +227,15 @@ class ResNetEncoder(nn.Module):
             names = []
             for b in range(n_blocks):
                 name = f"layer{stage_idx + 1}_{b}"
-                setattr(self, name, block_cls(
+                kwargs = dict(
                     channels=ch,
                     strides=s if b == 0 else 1,
                     dilation=dilation,
                     dtype=self.dtype,
-                ))
+                )
+                if stage_idx == 0 and block_cls is BasicBlock:
+                    kwargs["residual_barrier"] = self.stage0_residual_barrier
+                setattr(self, name, block_cls(**kwargs))
                 names.append(name)
             stage_names.append(tuple(names))
         self._stage_names = tuple(stage_names)

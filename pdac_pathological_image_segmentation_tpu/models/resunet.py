@@ -152,9 +152,14 @@ class ResUNet(nn.Module):
     # (4,342 vs 4,440 patches/s end-to-end) — XLA fuses the transposed conv
     # with the neighboring ConcatConv adds; keep-whichever-wins
     upconv_einsum: bool = False
+    # layer1 residual-add fusion barrier (see models/resnet.BasicBlock)
+    stage0_residual_barrier: bool = False
 
     def setup(self) -> None:
-        self.encoder = ResNetEncoder(backbone=self.backbone, dtype=self.dtype)
+        self.encoder = ResNetEncoder(
+            backbone=self.backbone, dtype=self.dtype,
+            stage0_residual_barrier=self.stage0_residual_barrier,
+        )
 
         def up(features):
             if self.upconv_einsum:

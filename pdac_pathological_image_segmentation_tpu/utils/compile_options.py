@@ -2,10 +2,11 @@
 
 XLA:TPU's default scoped-VMEM budget (the window the scheduler may use to
 stage fusion operands/results on-chip) leaves the v5e inference program's
-convolutions stalling on HBM: raising it to 48 MiB measured **+7.8%
-end-to-end** on the bs=512 flagship step (107.0 ms vs 115.3; sweep:
-32→?, 48→4784, 64→4756, 96→4615 patches/s — too large crowds out conv
-double-buffering, too small starves operand prefetch).
+convolutions stalling on HBM: raising it to 45 MiB measured **+8.7%
+end-to-end** on the bs=512 flagship step (103.6 ms vs 115.3; sweep in
+patches/s: 32M→4667 · 40→4607 · 43→4910 · 45→4942+4941 (twice) ·
+46→4883 · 48→4784 · 52→4852 · 64→4756 · 96→4615 — too large crowds out
+conv double-buffering, too small starves operand prefetch).
 
 These options ride per-compile (``jitted.lower(...).compile(...)``), NOT
 ``XLA_FLAGS`` — TPU-only flag names crash non-TPU local XLA parsing, and
@@ -19,7 +20,7 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 SERVING_COMPILER_OPTIONS: Mapping[str, str] = {
-    "xla_tpu_scoped_vmem_limit_kib": "49152",
+    "xla_tpu_scoped_vmem_limit_kib": "46080",
 }
 
 
