@@ -203,6 +203,9 @@ class Trainer:
                                stain=self.cfg.stain,
                                augment=bool(
                                    self.cfg.extras.get("augment", True)
+                               ),
+                               fused_augment=bool(
+                                   self.cfg.extras.get("fused_augment", True)
                                ))
 
     def _build_eval_step(self):

@@ -32,10 +32,26 @@ def _default_objective() -> Objective:
     return make_objective(Config(model="unet"))
 
 
+def _can_fuse_augment(image_shape, img_size: int, parity_mode: bool,
+                      stain: str, aug_dtype) -> bool:
+    """Fused Pallas augmentation eligibility: TPU, bf16 pipeline, square
+    native-size uint8 input, default-mode semantics, no stain hook
+    (``ops/pallas/fused_augment.py`` — measured 25.9 vs 84.1 ms at
+    bs=256/512² on v5e vs the XLA chain)."""
+    if parity_mode or stain != "none" or aug_dtype != jnp.bfloat16:
+        return False
+    if image_shape[1] != img_size or image_shape[2] != img_size:
+        return False
+    if img_size % 8 or image_shape[1] != image_shape[2]:
+        return False
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
                     donate: bool = True, objective: Objective | None = None,
                     remat: bool = False, grad_accum_steps: int = 1,
-                    stain: str = "none", augment: bool = True):
+                    stain: str = "none", augment: bool = True,
+                    fused_augment: bool = True):
     """Returns jitted ``step(state, key, image_u8, mask_u8) →
     (new_state, loss, score)`` — the reference's per-batch body
     (``train_worker.py:67-83``) as one fused program.
@@ -91,10 +107,22 @@ def make_train_step(model: nn.Module, img_size: int, parity_mode: bool = False,
             # full-image float32 tensor ever hits HBM (uint8 is exact in
             # bf16; the model consumes bf16 anyway)
             aug_dtype = getattr(model, "dtype", None) or jnp.float32
-            imgs, msks = train_transform(
-                k_aug, image, mask, img_size=img_size,
-                parity_mode=parity_mode, stain=stain, dtype=aug_dtype,
-            )
+            if fused_augment and _can_fuse_augment(
+                image.shape, img_size, parity_mode, stain, aug_dtype
+            ):
+                # fused Pallas augmentation (same per-sample RNG stream as
+                # train_transform; default-on where eligible — it WINS:
+                # 25.9 vs 84.1 ms at bs=256/512² on v5e)
+                from pdac_pathological_image_segmentation_tpu.ops.pallas.fused_augment import (
+                    fused_train_transform,
+                )
+
+                imgs, msks = fused_train_transform(k_aug, image, mask)
+            else:
+                imgs, msks = train_transform(
+                    k_aug, image, mask, img_size=img_size,
+                    parity_mode=parity_mode, stain=stain, dtype=aug_dtype,
+                )
         else:
             # augmentation disabled (config extra ``augment: false``):
             # val-pipeline transform only — also the deterministic input
