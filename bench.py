@@ -130,6 +130,7 @@ def bench_train() -> None:
 
     enable_compile_cache()
     from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        TRAIN_COMPILER_OPTIONS,
         compile_serving,
     )
 
@@ -142,7 +143,8 @@ def bench_train() -> None:
     m = jax.device_put(rng.integers(0, 2, (batch, 512, 512), dtype=np.uint8))
     key = jax.random.PRNGKey(0)
     step = compile_serving(make_train_step(model, 512, donate=True),
-                           state, key, x, m)
+                           state, key, x, m,
+                           options=TRAIN_COMPILER_OPTIONS)
     state, loss, _ = step(state, key, x, m)
     _ = float(loss)  # compile + completion
     n = 0

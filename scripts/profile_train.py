@@ -53,10 +53,12 @@ def main() -> None:
 
     if args.serving_opts:
         from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+            TRAIN_COMPILER_OPTIONS,
             compile_serving,
         )
 
-        step = compile_serving(step, state, key, x, m)
+        step = compile_serving(step, state, key, x, m,
+                               options=TRAIN_COMPILER_OPTIONS)
 
     t0 = time.perf_counter()
     state, loss, score = step(state, key, x, m)
