@@ -41,3 +41,35 @@ def compile_serving(jitted: Any, *example_args: Any,
         return jitted.lower(*example_args).compile(compiler_options=opts)
     except Exception:
         return jitted
+
+
+class LazyCompiled:
+    """Wrap a jitted function so its FIRST call AOT-compiles with the
+    given compiler options (shapes only known at call time — e.g. the
+    Trainer's per-batch step).  Any failure — options rejected (CPU),
+    layout mismatch, a second distinct arg signature — falls back to the
+    plain jitted callable permanently for safety."""
+
+    def __init__(self, jitted: Any,
+                 options: Mapping[str, str] | None = None) -> None:
+        self._jitted = jitted
+        self._options = dict(options or SERVING_COMPILER_OPTIONS)
+        self._compiled: Any = None
+        self._fallback = False
+
+    def __call__(self, *args: Any):
+        if self._fallback:
+            return self._jitted(*args)
+        if self._compiled is None:
+            try:
+                self._compiled = self._jitted.lower(*args).compile(
+                    compiler_options=self._options)
+            except Exception:
+                self._fallback = True
+                return self._jitted(*args)
+        try:
+            return self._compiled(*args)
+        except Exception:
+            # e.g. a different batch shape than the compiled signature
+            self._fallback = True
+            return self._jitted(*args)
