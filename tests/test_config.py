@@ -68,3 +68,21 @@ def test_compile_serving_fallback_cpu():
 
     fn = compile_serving(jax.jit(lambda x: x + 1), jnp.zeros((4,)))
     assert float(fn(jnp.zeros((4,)))[0]) == 1.0
+
+
+def test_lazy_compiled_shape_fallback():
+    """LazyCompiled AOT-compiles on first call and falls back to plain jit
+    when a different arg signature arrives."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        LazyCompiled,
+    )
+
+    fn = LazyCompiled(jax.jit(lambda x: x * 2))
+    a = jnp.ones((4,))
+    assert float(fn(a)[0]) == 2.0
+    b = jnp.ones((8,))  # different shape → permanent fallback path
+    assert float(fn(b)[0]) == 2.0
+    assert float(fn(a)[0]) == 2.0
