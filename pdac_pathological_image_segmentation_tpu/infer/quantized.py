@@ -31,8 +31,7 @@ to match ``model.apply`` exactly.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

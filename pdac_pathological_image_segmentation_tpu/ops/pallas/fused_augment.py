@@ -46,13 +46,21 @@ from pdac_pathological_image_segmentation_tpu.config import (
     IMAGENET_STD,
 )
 
+import ml_dtypes as _mld
+
+
+def _bf16c(v) -> float:
+    """A constant pre-rounded through bf16 (so kernel math sees the same
+    literal values the XLA chain's bf16 jnp.asarray constants carry)."""
+    return float(np.asarray(v, _mld.bfloat16).astype(np.float32))
+
+
 _T_YIQ = np.asarray(
     [[0.299, 0.587, 0.114],
      [0.59590059, -0.27455667, -0.32134392],
      [0.21153661, -0.52273617, 0.31119955]], np.float32)
 # the XLA chain inverts the ALREADY-bf16-ROUNDED yiq matrix
 # (augment._adjust_hue: t_yiq is created in the image dtype) — match it
-import ml_dtypes as _mld
 _T_RGB = np.linalg.inv(
     np.asarray(_T_YIQ, _mld.bfloat16).astype(np.float32))
 _GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
@@ -161,10 +169,8 @@ def _augment_kernel(facs_ref, ints_ref, img_ref, mask_ref, out_ref,
             r = buf_ref[0].astype(jnp.float32)
             g = buf_ref[1].astype(jnp.float32)
             b = buf_ref[2].astype(jnp.float32)
-            ty = _T_YIQ.astype(np.float32)
-            import ml_dtypes
-            tb = lambda v: float(  # bf16-rounded constants, pure numpy
-                np.asarray(v, ml_dtypes.bfloat16).astype(np.float32))
+            ty = _T_YIQ
+            tb = _bf16c
             y = r * tb(ty[0, 0]) + g * tb(ty[0, 1]) + b * tb(ty[0, 2])
             i0 = r * tb(ty[1, 0]) + g * tb(ty[1, 1]) + b * tb(ty[1, 2])
             q0 = r * tb(ty[2, 0]) + g * tb(ty[2, 1]) + b * tb(ty[2, 2])
