@@ -147,7 +147,10 @@ bool lzw_decode(const uint8_t* src, size_t n, uint8_t* dst, size_t out_len) {
       code = prefix[code];
     }
     stack[sp++] = static_cast<uint8_t>(code);
-    if (out + sp > out_len) sp = static_cast<int>(out_len - out);
+    // A decoded string that would overflow the output is corruption, not a
+    // truncation point: emitting a clipped prefix would silently produce the
+    // TAIL bytes of the dictionary string (stack is reversed).  Fail instead.
+    if (out + static_cast<size_t>(sp) > out_len) return false;
     for (int k = sp - 1; k >= 0; --k) dst[out++] = stack[k];
     return true;
   };
@@ -279,9 +282,15 @@ struct Slide {
   std::vector<Level> levels;  // sorted by width desc
   std::mutex io_mu;           // file reads are serialized; decode is parallel
 
+  // Per-tile compressed-size cap: a corrupt byte count must not drive a
+  // multi-GiB resize (bad_alloc across the C ABI).  256 MiB comfortably
+  // exceeds any real tile/strip payload.
+  static constexpr uint64_t kMaxTileBytes = 256ull << 20;
+
   bool read_tile_bytes(const Level& lv, uint32_t idx,
                        std::vector<uint8_t>& out) {
-    if (idx >= lv.offsets.size()) return false;
+    if (idx >= lv.offsets.size() || idx >= lv.byte_counts.size()) return false;
+    if (lv.byte_counts[idx] > kMaxTileBytes) return false;
     size_t n = static_cast<size_t>(lv.byte_counts[idx]);
     out.resize(n);
     std::lock_guard<std::mutex> lk(io_mu);
@@ -370,10 +379,14 @@ uint64_t parse_ifd(Slide& s, uint64_t off, std::vector<uint64_t>* subifds) {
     next = fr.get_uint(nextbuf, s.big ? 8 : 4);
 
   if (has_size && lv.width && lv.height) {
-    if (lv.tile_w && lv.tile_h && !lv.offsets.empty()) {
+    // Offsets and byte counts must pair 1:1 — a mismatched IFD would make
+    // every byte_counts[idx] lookup on the read path an out-of-bounds read.
+    if (lv.tile_w && lv.tile_h && !lv.offsets.empty() &&
+        lv.byte_counts.size() == lv.offsets.size()) {
       lv.tiled = true;
       s.levels.push_back(std::move(lv));
-    } else if (!strip_offsets.empty()) {
+    } else if (!strip_offsets.empty() &&
+               strip_counts.size() == strip_offsets.size()) {
       // strip-organized: expose as full-width virtual tiles
       lv.tiled = false;
       lv.tile_w = static_cast<uint32_t>(lv.width);
@@ -474,7 +487,7 @@ int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
 extern "C" {
 
 // returns opaque handle, nullptr on failure
-void* tiff_open(const char* path) {
+void* tiff_open(const char* path) try {
   auto s = new Slide();
   if (!s->fr.open(path)) { delete s; return nullptr; }
   uint8_t hdr[16];
@@ -510,6 +523,10 @@ void* tiff_open(const char* path) {
                      return a.width > b.width;
                    });
   return s;
+} catch (...) {
+  // C++ exceptions (e.g. bad_alloc on a corrupt header) must not cross the
+  // C ABI into ctypes — that terminates the host process.
+  return nullptr;
 }
 
 void tiff_close(void* h) { delete static_cast<Slide*>(h); }
@@ -547,7 +564,7 @@ int32_t tiff_jpeg_tables(void* h, int32_t level, uint8_t* out) {
 
 // raw (compressed) bytes of one tile; *size in = capacity, out = actual
 int32_t tiff_tile_raw(void* h, int32_t level, int32_t tx, int32_t ty,
-                      uint8_t* out, int64_t* size) {
+                      uint8_t* out, int64_t* size) try {
   Slide* s = static_cast<Slide*>(h);
   if (level < 0 || level >= static_cast<int32_t>(s->levels.size()))
     return kBadArgument;
@@ -556,6 +573,7 @@ int32_t tiff_tile_raw(void* h, int32_t level, int32_t tx, int32_t ty,
       ty >= static_cast<int32_t>(lv.tiles_y()))
     return kBadArgument;
   uint32_t idx = static_cast<uint32_t>(ty) * lv.tiles_x() + tx;
+  if (idx >= lv.byte_counts.size()) return kCorrupt;
   int64_t n = static_cast<int64_t>(lv.byte_counts[idx]);
   if (n > *size) { *size = n; return kBadArgument; }
   std::vector<uint8_t> buf;
@@ -563,11 +581,13 @@ int32_t tiff_tile_raw(void* h, int32_t level, int32_t tx, int32_t ty,
   std::memcpy(out, buf.data(), buf.size());
   *size = n;
   return kOk;
+} catch (...) {
+  return kCorrupt;
 }
 
 // decode one tile to RGB888 (tile_w*tile_h*3)
 int32_t tiff_read_tile(void* h, int32_t level, int32_t tx, int32_t ty,
-                       uint8_t* dst) {
+                       uint8_t* dst) try {
   Slide* s = static_cast<Slide*>(h);
   if (level < 0 || level >= static_cast<int32_t>(s->levels.size()))
     return kBadArgument;
@@ -577,12 +597,14 @@ int32_t tiff_read_tile(void* h, int32_t level, int32_t tx, int32_t ty,
     return kBadArgument;
   return decode_tile(*s, lv, static_cast<uint32_t>(tx),
                      static_cast<uint32_t>(ty), dst);
+} catch (...) {
+  return kCorrupt;
 }
 
 // assemble an arbitrary region (x, y, w, h) of `level` into dst (w*h*3 RGB),
 // zero-filled outside the image; tiles decode on the thread pool
 int32_t tiff_read_region(void* h, int32_t level, int64_t x, int64_t y,
-                         int64_t w, int64_t hh, uint8_t* dst) {
+                         int64_t w, int64_t hh, uint8_t* dst) try {
   Slide* s = static_cast<Slide*>(h);
   if (level < 0 || level >= static_cast<int32_t>(s->levels.size()) ||
       w <= 0 || hh <= 0)
@@ -604,6 +626,8 @@ int32_t tiff_read_region(void* h, int32_t level, int64_t x, int64_t y,
     for (int64_t tx = tx0; tx <= tx1; ++tx) {
       jobs.push_back([&, tx, ty] {
         if (err.load() != kOk) return;
+        // Worker-thread exceptions would std::terminate — convert to kCorrupt.
+        try {
         std::vector<uint8_t> tile(static_cast<size_t>(tw) * th * 3);
         int32_t rc = decode_tile(*s, lv, static_cast<uint32_t>(tx),
                                  static_cast<uint32_t>(ty), tile.data());
@@ -621,11 +645,14 @@ int32_t tiff_read_region(void* h, int32_t level, int64_t x, int64_t y,
           uint8_t* out = dst + ((r - y) * w + (sx0 - x)) * 3;
           std::memcpy(out, src, static_cast<size_t>(sx1 - sx0) * 3);
         }
+        } catch (...) { err.store(kCorrupt); }
       });
     }
   }
   pool().run(std::move(jobs));
   return err.load();
+} catch (...) {
+  return kCorrupt;
 }
 
 }  // extern "C"

@@ -323,8 +323,11 @@ class TiffSlideSource:
             tissue_mask_np,
         )
 
-        lw, lh = self.slide.dimensions(self.level)
-        tl = self.slide.level_for_downsample(max(1.0, lw / thumb_max))
+        # level_for_downsample measures relative to level 0, so the target
+        # downsample must too — using the source level's width here would pick
+        # a thumbnail wider than thumb_max whenever self.level > 0.
+        full_w = self.slide.dimensions(0)[0]
+        tl = self.slide.level_for_downsample(max(1.0, full_w / thumb_max))
         tw, th = self.slide.dimensions(tl)
         thumb = self.slide.read_region(tl, 0, 0, tw, th)
         mask = tissue_mask_np(thumb)  # (th, tw) bool

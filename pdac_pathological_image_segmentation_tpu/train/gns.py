@@ -86,7 +86,8 @@ def make_gns_stats(grad_fn: Callable, mesh: Mesh, batch_size: int,
     """
     n_dev = mesh.devices.size
     if batch_size % n_dev:
-        raise ValueError(f"batch {batch_size} must divide {n_dev} devices")
+        raise ValueError(
+            f"batch {batch_size} must be divisible by {n_dev} devices")
     b_small = batch_size // n_dev
     b_big = batch_size
 

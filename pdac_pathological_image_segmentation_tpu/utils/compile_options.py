@@ -46,9 +46,13 @@ def compile_serving(jitted: Any, *example_args: Any,
 class LazyCompiled:
     """Wrap a jitted function so its FIRST call AOT-compiles with the
     given compiler options (shapes only known at call time — e.g. the
-    Trainer's per-batch step).  Any failure — options rejected (CPU),
-    layout mismatch, a second distinct arg signature — falls back to the
-    plain jitted callable permanently for safety."""
+    Trainer's per-batch step).  Compile failure (options rejected on CPU,
+    older libtpu) or a signature/shape mismatch on execution falls back to
+    the plain jitted callable permanently, with a one-time warning naming
+    the cause.  Genuine runtime errors on the execute path (anything other
+    than ``TypeError``/``ValueError``) propagate — silently retrying them
+    on the jit path would mask real failures and, with donated arguments,
+    could re-use already-donated buffers."""
 
     def __init__(self, jitted: Any,
                  options: Mapping[str, str] | None = None) -> None:
@@ -57,6 +61,14 @@ class LazyCompiled:
         self._compiled: Any = None
         self._fallback = False
 
+    def _fall_back(self, stage: str, exc: Exception) -> None:
+        import warnings
+
+        self._fallback = True
+        warnings.warn(
+            f"LazyCompiled: falling back to plain jit after {stage} error: "
+            f"{type(exc).__name__}: {exc}", RuntimeWarning, stacklevel=3)
+
     def __call__(self, *args: Any):
         if self._fallback:
             return self._jitted(*args)
@@ -64,12 +76,12 @@ class LazyCompiled:
             try:
                 self._compiled = self._jitted.lower(*args).compile(
                     compiler_options=self._options)
-            except Exception:
-                self._fallback = True
+            except Exception as exc:  # options rejected by this backend
+                self._fall_back("compile", exc)
                 return self._jitted(*args)
         try:
             return self._compiled(*args)
-        except Exception:
-            # e.g. a different batch shape than the compiled signature
-            self._fallback = True
+        except (TypeError, ValueError) as exc:
+            # a different arg signature/shape than the compiled executable
+            self._fall_back("execute", exc)
             return self._jitted(*args)
