@@ -2,12 +2,17 @@
 ``smp.DeepLabV3Plus(..., decoder_atrous_rates=cfg["dilations"])`` factory at
 ``train_worker.py:163-170`` / ``test.py:94-101``).
 
-ResNet encoder at output-stride 16 (layer4 strides → dilations) → ASPP with
-the config's atrous rates (reference default ``(3, 6, 9)`` from
+Exact smp ``DeepLabV3PlusDecoder`` topology (so reference-trained ``.pth``
+checkpoints convert one-to-one, ``utils/torch_weights.py``): ResNet encoder
+at output-stride 16 (layer4 strides → dilations) → ASPP with the config's
+atrous rates (reference default ``(3, 6, 9)`` from
 ``configs/train_config.yaml:24``) using depthwise-separable atrous convs +
-global image pooling → 1×1 project to 256 → 4× bilinear up → concat with the
-48-channel projected stride-4 skip → separable 3×3 conv → head → 4× bilinear
-upsample to full resolution.
+global image pooling → 1×1 project to 256 + dropout(0.5) → separable 3×3
+conv + BN + ReLU (smp ``aspp.1/aspp.2``) → 4× corner-aligned bilinear up
+(``nn.UpsamplingBilinear2d``) → concat with the 48-channel projected
+stride-4 skip → separable 3×3 conv → 1×1 head (smp passes ``kernel_size=1``
+to ``SegmentationHead``) → 4× corner-aligned bilinear upsample to full
+resolution.
 """
 
 from __future__ import annotations
@@ -107,8 +112,13 @@ class DeepLabV3Plus(nn.Module):
 
         y = ASPP(self.decoder_channels, self.atrous_rates, dtype=self.dtype,
                  name="aspp")(c5, train=train)
-        # stride 16 → stride 4
-        y = resize_bilinear(y.astype(jnp.float32), c2.shape[1], c2.shape[2])
+        # smp's DeepLabV3PlusDecoder runs one more separable 3×3 conv + BN +
+        # ReLU after the ASPP projection (decoder.aspp.1 / aspp.2)
+        y = _SeparableConvBNReLU(self.decoder_channels, dtype=self.dtype,
+                                 name="aspp_sep")(y, train=train)
+        # stride 16 → stride 4: smp nn.UpsamplingBilinear2d (corner-aligned)
+        y = resize_bilinear(y.astype(jnp.float32), c2.shape[1], c2.shape[2],
+                            align_corners=True)
         y = y.astype(self.dtype)
 
         skip = _ConvBNReLU(48, 1, dtype=self.dtype, name="skip_project")(
@@ -117,8 +127,9 @@ class DeepLabV3Plus(nn.Module):
         y = _SeparableConvBNReLU(self.decoder_channels, dtype=self.dtype,
                                  name="fuse")(y, train=train)
 
-        y = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
+        # smp SegmentationHead with kernel_size=1 + UpsamplingBilinear2d(4)
+        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     name="head")(y)
         y = resize_bilinear(y.astype(jnp.float32), self.output_size,
-                            self.output_size)
+                            self.output_size, align_corners=True)
         return y

@@ -121,7 +121,9 @@ class FPN(nn.Module):
         # smp uses Dropout2d (whole-channel dropout) — broadcast over H,W
         y = nn.Dropout(self.dropout, deterministic=not train,
                        broadcast_dims=(1, 2))(y)
-        y = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
+        # smp's FPN passes kernel_size=1 to SegmentationHead (fpn/model.py) —
+        # unlike Unet/PSPNet which use the default 3×3
+        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     name="head")(y)
         # smp SegmentationHead upsamples with nn.UpsamplingBilinear2d —
         # align_corners=True (unlike the ResUNet's interpolate(...,

@@ -4,9 +4,15 @@
 build it due to the ``"pspnet+"`` key typo at ``test.py:101``; we accept both
 spellings, see ``config.py``).
 
-smp-style shallow variant: encoder depth 3 (deepest feature at stride 8) →
-pyramid pooling module over bin sizes (1, 2, 3, 6) with BN → concat →
-1×1 conv to 512 + BN + ReLU → dropout(0.2) → 3×3 head → 8× bilinear upsample.
+Exact smp ``PSPDecoder`` topology (so reference-trained ``.pth`` checkpoints
+convert one-to-one, ``utils/torch_weights.py``): encoder depth 3 (deepest
+feature at stride 8) → pyramid pooling module over bin sizes (1, 2, 3, 6) —
+each branch adaptive-avg-pool → 1×1 conv (+BN except the 1×1 bin, where smp
+disables BatchNorm and the conv carries a bias) → ReLU → corner-aligned
+bilinear upsample back to the feature size — concatenated as
+``[branches..., identity]`` (smp appends the input LAST) → 1×1 conv to 512 +
+BN + ReLU → channel dropout(0.2) → 3×3 head → 8× corner-aligned bilinear
+upsample (``nn.UpsamplingBilinear2d``).
 """
 
 from __future__ import annotations
@@ -50,12 +56,20 @@ class _PSPBranch(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h, w = x.shape[1], x.shape[2]
         y = adaptive_avg_pool(x, self.pool_size)
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        # smp PSPBlock: the 1×1 bin gets NO BatchNorm ("PyTorch does not
+        # support BatchNorm for 1x1 shape" in smp's decoder) — its conv
+        # carries the bias instead
+        use_bn = self.pool_size > 1
+        y = nn.Conv(self.channels, (1, 1), use_bias=not use_bn,
+                    dtype=self.dtype, name="conv")(y)
+        if use_bn:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn")(y)
         y = nn.relu(y)
-        return resize_bilinear(y.astype(jnp.float32), h, w).astype(self.dtype)
+        # smp PSPBlock upsamples with align_corners=True
+        return resize_bilinear(y.astype(jnp.float32), h, w,
+                               align_corners=True).astype(self.dtype)
 
 
 class PSPNet(nn.Module):
@@ -75,13 +89,13 @@ class PSPNet(nn.Module):
 
         in_ch = c3.shape[-1]
         branch_ch = in_ch // len(self.pool_sizes)
-        branches = [c3]
-        for i, s in enumerate(self.pool_sizes):
-            branches.append(
-                _PSPBranch(pool_size=s, channels=branch_ch, dtype=self.dtype,
-                           name=f"psp_{s}")(c3, train=train)
-            )
-        y = jnp.concatenate(branches, axis=-1)
+        # smp PSPModule concat order: pooled branches first, identity LAST
+        branches = [
+            _PSPBranch(pool_size=s, channels=branch_ch, dtype=self.dtype,
+                       name=f"psp_{s}")(c3, train=train)
+            for s in self.pool_sizes
+        ]
+        y = jnp.concatenate(branches + [c3], axis=-1)
 
         y = nn.Conv(self.psp_out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="bottleneck_conv")(y)
@@ -89,10 +103,13 @@ class PSPNet(nn.Module):
                          epsilon=BN_EPS, dtype=self.dtype,
                          name="bottleneck_bn")(y)
         y = nn.relu(y)
-        y = nn.Dropout(0.2, deterministic=not train)(y)
+        # smp uses Dropout2d (whole-channel dropout) — broadcast over H,W
+        y = nn.Dropout(0.2, deterministic=not train,
+                       broadcast_dims=(1, 2))(y)
 
         y = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
                     name="head")(y)
+        # smp SegmentationHead: UpsamplingBilinear2d(8) — corner-aligned
         y = resize_bilinear(y.astype(jnp.float32), self.output_size,
-                            self.output_size)
+                            self.output_size, align_corners=True)
         return y

@@ -263,18 +263,166 @@ def convert_smp_fpn_state_dict(
     return params, batch_stats
 
 
+def convert_smp_deeplabv3plus_state_dict(
+    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any
+) -> Tuple[Any, Any]:
+    """Convert a segmentation_models_pytorch ``DeepLabV3Plus(resnet*)``
+    state_dict (reference factory ``train_worker.py:163-170`` /
+    ``test.py:94-101``) into our flax DeepLabV3Plus variables.
+
+    smp layout → ours:
+    * ``encoder.*``                        → torchvision resnet (shared)
+    * ``decoder.aspp.0.convs.0.{0,1}``     → ``aspp/branch_1x1`` (1×1+BN)
+    * ``decoder.aspp.0.convs.{i}.0.{0,1}`` + ``.1`` → ``aspp/branch_r{i-1}``
+      (SeparableConv2d = depthwise+pointwise, then BN), i = 1..3
+    * ``decoder.aspp.0.convs.4.{1,2}``     → ``aspp/branch_pool``
+    * ``decoder.aspp.0.project.{0,1}``     → ``aspp/project``
+    * ``decoder.aspp.1.{0,1}`` + ``decoder.aspp.2`` → ``aspp_sep``
+    * ``decoder.block1.{0,1}``             → ``skip_project``
+    * ``decoder.block2.0.{0,1}`` + ``.1``  → ``fuse``
+    * ``segmentation_head.0``              → ``head`` (1×1 conv + bias)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params, batch_stats = convert_resnet_state_dict(
+        enc_sd, params, batch_stats, encoder_key="encoder"
+    )
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def put_conv(node, torch_name, bias=False):
+        w = sd[torch_name + ".weight"]
+        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        if bias:
+            node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+
+    def put_depthwise(node, torch_name):
+        # torch depthwise conv weight is (C, 1, kH, kW); flax with
+        # feature_group_count=C expects HWIO with I=1
+        w = sd[torch_name + ".weight"]
+        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+
+    def put_bn(p_node, b_node, torch_name):
+        p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
+        p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+        b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
+        b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+
+    def put_sep(p_node, b_node, torch_sep, torch_bn):
+        put_depthwise(p_node["depthwise"], torch_sep + ".0")
+        put_conv(p_node["pointwise"], torch_sep + ".1")
+        put_bn(p_node["bn"], b_node["bn"], torch_bn)
+
+    pa, ba = params["aspp"], batch_stats["aspp"]
+    put_conv(pa["branch_1x1"]["conv"], "decoder.aspp.0.convs.0.0")
+    put_bn(pa["branch_1x1"]["bn"], ba["branch_1x1"]["bn"],
+           "decoder.aspp.0.convs.0.1")
+    for i in (1, 2, 3):
+        put_sep(pa[f"branch_r{i-1}"], ba[f"branch_r{i-1}"],
+                f"decoder.aspp.0.convs.{i}.0", f"decoder.aspp.0.convs.{i}.1")
+    put_conv(pa["branch_pool"]["conv"], "decoder.aspp.0.convs.4.1")
+    put_bn(pa["branch_pool"]["bn"], ba["branch_pool"]["bn"],
+           "decoder.aspp.0.convs.4.2")
+    put_conv(pa["project"]["conv"], "decoder.aspp.0.project.0")
+    put_bn(pa["project"]["bn"], ba["project"]["bn"],
+           "decoder.aspp.0.project.1")
+
+    put_sep(params["aspp_sep"], batch_stats["aspp_sep"],
+            "decoder.aspp.1", "decoder.aspp.2")
+    put_conv(params["skip_project"]["conv"], "decoder.block1.0")
+    put_bn(params["skip_project"]["bn"], batch_stats["skip_project"]["bn"],
+           "decoder.block1.1")
+    put_sep(params["fuse"], batch_stats["fuse"],
+            "decoder.block2.0", "decoder.block2.1")
+    put_conv(params["head"], "segmentation_head.0", bias=True)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return params, batch_stats
+
+
+def convert_smp_pspnet_state_dict(
+    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any
+) -> Tuple[Any, Any]:
+    """Convert a segmentation_models_pytorch ``PSPNet(resnet*)`` state_dict
+    (reference factory ``train_worker.py:172-182``; unreachable in the
+    reference's own test script due to the ``"pspnet+"`` typo at
+    ``test.py:101`` — evaluable here) into our flax PSPNet variables.
+
+    smp layout → ours (bin sizes 1, 2, 3, 6 → blocks 0..3):
+    * ``encoder.*``                          → torchvision resnet (shared;
+      layer3/layer4 ride along at their pretrained values — smp's depth-3
+      encoder never runs them but keeps them in the state_dict)
+    * ``decoder.psp.blocks.0.pool.1.0``      → ``psp_1/conv`` (bias, no BN —
+      smp disables BatchNorm for the 1×1 bin)
+    * ``decoder.psp.blocks.{i}.pool.1.{0,1}``→ ``psp_{2,3,6}/{conv,bn}``
+    * ``decoder.conv.{0,1}``                 → ``bottleneck_conv`` /
+      ``bottleneck_bn``
+    * ``segmentation_head.0``                → ``head`` (3×3 conv + bias)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params, batch_stats = convert_resnet_state_dict(
+        enc_sd, params, batch_stats, encoder_key="encoder"
+    )
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def put_conv(node, torch_name, bias=False):
+        w = sd[torch_name + ".weight"]
+        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        if bias:
+            node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+
+    def put_bn(p_node, b_node, torch_name):
+        p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
+        p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+        b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
+        b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+
+    for block_idx, size in enumerate((1, 2, 3, 6)):
+        pre = f"decoder.psp.blocks.{block_idx}.pool.1"
+        node = params[f"psp_{size}"]
+        if size == 1:
+            put_conv(node["conv"], f"{pre}.0", bias=True)
+        else:
+            put_conv(node["conv"], f"{pre}.0")
+            put_bn(node["bn"], batch_stats[f"psp_{size}"]["bn"], f"{pre}.1")
+
+    put_conv(params["bottleneck_conv"], "decoder.conv.0")
+    put_bn(params["bottleneck_bn"], batch_stats["bottleneck_bn"],
+           "decoder.conv.1")
+    put_conv(params["head"], "segmentation_head.0", bias=True)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return params, batch_stats
+
+
 def load_reference_model_checkpoint(
     path: str, model_name: str, params: Any, batch_stats: Any
 ):
     """Load a reference training checkpoint for the given ``cfg.model``:
-    ``unet`` (in-repo ResUNet) or ``fpn`` (smp, the reference default)."""
+    ``unet`` (in-repo ResUNet), ``fpn`` (smp, the reference default),
+    ``deeplabv3+`` or ``pspnet`` (smp factories, ``test.py:94-111``)."""
     sd = _load_state_dict(path)
     if model_name == "unet":
         return convert_resunet_state_dict(sd, params, batch_stats)
     if model_name == "fpn":
         return convert_smp_fpn_state_dict(sd, params, batch_stats)
+    if model_name == "deeplabv3+":
+        return convert_smp_deeplabv3plus_state_dict(sd, params, batch_stats)
+    if model_name == "pspnet":
+        return convert_smp_pspnet_state_dict(sd, params, batch_stats)
     raise ValueError(
-        f"no .pth converter for model {model_name!r} (supported: unet, fpn)"
+        f"no .pth converter for model {model_name!r} "
+        "(supported: unet, fpn, deeplabv3+, pspnet)"
     )
 
 

@@ -102,8 +102,9 @@ class _TorchSmpFPN(tnn.Module):
                 )
 
         self.decoder = Decoder()
+        # smp FPN passes kernel_size=1 to SegmentationHead (fpn/model.py)
         self.segmentation_head = tnn.Sequential(
-            tnn.Conv2d(128, classes, 3, padding=1),
+            tnn.Conv2d(128, classes, 1),
             tnn.UpsamplingBilinear2d(scale_factor=4),
         )
 
