@@ -164,19 +164,19 @@ def bench_train() -> None:
     }))
 
 
-def bench_int8() -> None:
+def bench_int8(model_name: str = "unet") -> None:
     """Opt-in int8 quantized serving throughput (infer/quantized.py):
     post-training per-channel weight + calibrated per-tensor activation
-    quantization, int32 MXU accumulation.  Reported NEXT TO the bf16
+    quantization, int32 MXU accumulation, for ``unet`` or ``fpn`` (the
+    reference's default config model).  Reported NEXT TO the bf16
     headline (vs_baseline refers to the same 5,000 north star; mask
     agreement/Dice delta pinned by tests/test_quantized.py)."""
     import numpy as np
 
     from pdac_pathological_image_segmentation_tpu.config import Config
     from pdac_pathological_image_segmentation_tpu.infer.quantized import (
-        calibrate,
         make_quantized_infer_step,
-        quantize_resunet,
+        quantize_model,
     )
     from pdac_pathological_image_segmentation_tpu.models.registry import build_model
     from pdac_pathological_image_segmentation_tpu.train.state import (
@@ -187,8 +187,8 @@ def bench_int8() -> None:
     )
 
     enable_compile_cache()
-    cfg = Config(model="unet", backbone="resnet18", img_size=512,
-                 compute_dtype="float32")
+    cfg = Config(model=model_name, backbone="resnet18", img_size=512,
+                 compute_dtype="float32", use_pallas=False)
     model = build_model(cfg)
     state = jax.device_put(
         create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
@@ -197,15 +197,15 @@ def bench_int8() -> None:
     x = jax.device_put(
         rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
-    scales = calibrate(state.params, state.batch_stats, [calib], 512)
-    bundle = quantize_resunet(state.params, state.batch_stats, scales)
+    bundle, forward = quantize_model(
+        model_name, state.params, state.batch_stats, [calib], 512)
     from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
         compile_serving,
     )
 
     step = compile_serving(
         make_quantized_infer_step(state.params, state.batch_stats,
-                                  bundle, 512), x)
+                                  bundle, 512, forward=forward), x)
     out = step(x)
     _ = float(out[0, 0, 0])
     n_iters, depth = 48, 8
@@ -216,7 +216,7 @@ def bench_int8() -> None:
     dt = time.perf_counter() - t0
     pps = n_iters * batch / dt
     print(json.dumps({
-        "metric": "512x512 patches/sec/chip tile->mask (unet int8 "
+        "metric": f"512x512 patches/sec/chip tile->mask ({model_name} int8 "
                   "quantized serving, bs=256)",
         "value": round(pps, 1),
         "unit": "patches/s",
@@ -290,12 +290,14 @@ if __name__ == "__main__":
                         choices=("infer", "train", "wsi", "int8"))
     parser.add_argument("--size", type=int, default=8192,
                         help="WSI side length for --mode wsi")
+    parser.add_argument("--model", default="unet", choices=("unet", "fpn"),
+                        help="model for --mode int8")
     args = parser.parse_args()
     if args.mode == "infer":
         main()
     elif args.mode == "train":
         bench_train()
     elif args.mode == "int8":
-        bench_int8()
+        bench_int8(args.model)
     else:
         bench_wsi(args.size)

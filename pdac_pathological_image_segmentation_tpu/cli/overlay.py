@@ -82,10 +82,11 @@ def main(argv=None) -> dict:
                         help="also export the probability map as a "
                         "pyramidal tiled TIFF QuPath can overlay")
     parser.add_argument("--int8", action="store_true",
-                        help="int8 quantized serving path (model: unet "
-                        "only; calibrates activation scales on the first "
+                        help="int8 quantized serving path (models: unet, "
+                        "fpn; calibrates activation scales on the first "
                         "tiles — ~1.15x throughput on v5e, mask agreement "
-                        "pinned by tests/test_quantized.py)")
+                        "pinned by tests/test_quantized.py; composes with "
+                        "--sharded)")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -114,24 +115,22 @@ def main(argv=None) -> dict:
                                   num_workers=cfg.num_worker)
     infer_step = None
     if args.int8:
-        if cfg.model != "unet":
-            raise SystemExit("--int8 requires model: unet (the quantized "
-                             "mirror covers the flagship ResUNet)")
-        if args.sharded:
-            raise SystemExit("--int8 and --sharded are mutually exclusive")
         from pdac_pathological_image_segmentation_tpu.infer import (
             quantized as q,
         )
 
+        if cfg.model not in q.FORWARDS:
+            raise SystemExit(
+                f"--int8 supports models {sorted(q.FORWARDS)}, "
+                f"got {cfg.model!r}")
         n_cal = min(len(source), 16)
         calib = np.stack([source.get(i)[0] for i in range(n_cal)])
         params = evaluator.state.params
         bstats = evaluator.state.batch_stats
-        scales = q.calibrate(params, bstats, [calib], cfg.img_size)
-        bundle = q.quantize_resunet(params, bstats, scales)
-        qstep = q.make_quantized_infer_step(params, bstats, bundle,
-                                            cfg.img_size)
-        infer_step = lambda s, im: qstep(im)  # noqa: E731
+        bundle, forward = q.quantize_model(
+            cfg.model, params, bstats, [calib], cfg.img_size)
+        infer_step = q.make_quantized_infer_fn(
+            params, bstats, bundle, cfg.img_size, forward=forward)
 
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
@@ -145,6 +144,7 @@ def main(argv=None) -> dict:
                 1, max(cfg.batch_size, 8) // evaluator.mesh.devices.size
             ),
             tta=args.tta, blend=args.blend, stain=cfg.stain,
+            infer_step=infer_step,
         )
     else:
         runner = SlidingWindowInference(

@@ -142,16 +142,15 @@ def _upconv(p, x):
     return z + p["bias"].astype(x.dtype)
 
 
-def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
-                    output_size: int):
-    """uint8 NHWC → sigmoid probability masks; mirrors
-    ``ResUNet.__call__(train=False)`` (reference ``models/resunet.py:23-57``:
-    stem skip unused, head at 1/4 res, single 4× bilinear)."""
-    e, es = params["encoder"], batch_stats["encoder"]
+def _normalize(image_u8):
     mean = jnp.asarray(255.0 * np.asarray(IMAGENET_MEAN), jnp.float32)
     std = jnp.asarray(255.0 * np.asarray(IMAGENET_STD), jnp.float32)
-    x = (image_u8.astype(jnp.float32) - mean) / std
+    return (image_u8.astype(jnp.float32) - mean) / std
 
+
+def _encoder_forward(ctx: _Ctx, e, es, x):
+    """Shared resnet18 encoder mirror (stem + maxpool + 4 stages) →
+    ``[x2, x3, x4, x5]`` stage outputs."""
     a0, b0 = _bn_affine(e["bn1"], es["bn1"])
     y = ctx.conv("stem", x, e["conv1"]["kernel"], 2, 3)
     y = ctx.act(jnp.maximum(y * a0 + b0, 0.0))
@@ -166,7 +165,17 @@ def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
             stride = 2 if (li > 0 and bi == 0) else 1
             y = _basic_block(ctx, e[name], es[name], y, name, stride)
         feats.append(y)
-    x2, x3, x4, x5 = feats
+    return feats
+
+
+def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
+                    output_size: int):
+    """uint8 NHWC → sigmoid probability masks; mirrors
+    ``ResUNet.__call__(train=False)`` (reference ``models/resunet.py:23-57``:
+    stem skip unused, head at 1/4 res, single 4× bilinear)."""
+    x = _normalize(image_u8)
+    x2, x3, x4, x5 = _encoder_forward(
+        ctx, params["encoder"], batch_stats["encoder"], x)
 
     y = _upconv(params["upconv1"], x5)
     y = jnp.maximum(_concat_conv(ctx, params["conv1"], "dec1", y, x4), 0.0)
@@ -182,7 +191,70 @@ def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
     return jax.nn.sigmoid(logits[..., 0])
 
 
-def calibrate(params, batch_stats, batches, output_size: int):
+def _upsample_nearest_2x(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def fpn_forward(ctx: _Ctx, params, batch_stats, image_u8, output_size: int):
+    """uint8 NHWC → sigmoid probability masks; mirrors
+    ``FPN.__call__(train=False)`` (``models/fpn.py`` — smp topology, the
+    reference's DEFAULT model ``configs/train_config.yaml:22``).  Quantized
+    sites: the shared encoder + the four lateral 1×1 convs + every
+    segmentation-block 3×3 conv; GroupNorm, the 1×1 head and the
+    corner-aligned 4× resize stay float."""
+    from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
+        xla_group_norm_relu,
+    )
+
+    x = _normalize(image_u8)
+    c2, c3, c4, c5 = _encoder_forward(
+        ctx, params["encoder"], batch_stats["encoder"], x)
+
+    def lateral(name, feat):
+        y = ctx.conv(name, feat, params[name]["kernel"], 1, 0)
+        return ctx.act(y + params[name]["bias"].astype(jnp.float32))
+
+    p5 = lateral("lateral5", c5)
+    p4 = ctx.act(lateral("lateral4", c4) + _upsample_nearest_2x(p5))
+    p3 = ctx.act(lateral("lateral3", c3) + _upsample_nearest_2x(p4))
+    p2 = ctx.act(lateral("lateral2", c2) + _upsample_nearest_2x(p3))
+
+    def seg_conv(name, y):
+        p = params[name]
+        y = ctx.conv(f"{name}.conv", y, p["Conv_0"]["kernel"], 1, 1)
+        y = xla_group_norm_relu(
+            y.astype(jnp.float32), p["GroupNorm_0"]["scale"],
+            p["GroupNorm_0"]["bias"], num_groups=32, eps=1e-5)
+        return ctx.act(y)
+
+    outs = []
+    for i, (p, n_up) in enumerate(((p5, 3), (p4, 2), (p3, 1), (p2, 0))):
+        y = seg_conv(f"seg{i}_0", p)
+        if n_up > 0:
+            y = _upsample_nearest_2x(y)
+        for j in range(1, n_up):
+            y = _upsample_nearest_2x(seg_conv(f"seg{i}_{j}", y))
+        outs.append(y)
+    y = outs[0]
+    for o in outs[1:]:
+        y = y + o
+
+    # 1×1 head (smp SegmentationHead kernel_size=1) + corner-aligned 4× up
+    k = params["head"]["kernel"][0, 0].astype(jnp.float32)  # (128, classes)
+    logits = jnp.einsum("nhwc,co->nhwo", y.astype(jnp.float32), k)
+    logits = logits + params["head"]["bias"].astype(jnp.float32)
+    logits = resize_bilinear(logits, output_size, output_size,
+                             align_corners=True)
+    return jax.nn.sigmoid(logits[..., 0])
+
+
+FORWARDS = {"unet": resunet_forward, "fpn": fpn_forward}
+
+
+def calibrate(params, batch_stats, batches, output_size: int,
+              forward=resunet_forward):
     """Run the float-mode mirror over ``batches`` of uint8 images and
     return per-site activation scales (amax/127, max across batches)."""
     scales: Dict[str, float] = {}
@@ -190,7 +262,7 @@ def calibrate(params, batch_stats, batches, output_size: int):
     @jax.jit
     def one(image):
         ctx = _Ctx("float")
-        out = resunet_forward(ctx, params, batch_stats, image, output_size)
+        out = forward(ctx, params, batch_stats, image, output_size)
         return out, ctx.stats
 
     for image in batches:
@@ -200,10 +272,7 @@ def calibrate(params, batch_stats, batches, output_size: int):
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in scales.items()}
 
 
-def quantize_resunet(params, batch_stats, act_scales):
-    """Quantize every conv site's weights; returns the bundle consumed by
-    :func:`make_quantized_infer_step`."""
-    e = params["encoder"]
+def _quantize_encoder(e) -> Dict[str, tuple]:
     qw = {"stem": quantize_weights(e["conv1"]["kernel"])}
     for li in range(1, 5):
         for bi in range(2):
@@ -214,6 +283,13 @@ def quantize_resunet(params, batch_stats, act_scales):
             if "downsample_conv" in p:
                 qw[f"{name}.ds"] = quantize_weights(
                     p["downsample_conv"]["kernel"])
+    return qw
+
+
+def quantize_resunet(params, batch_stats, act_scales):
+    """Quantize every conv site's weights; returns the bundle consumed by
+    :func:`make_quantized_infer_step`."""
+    qw = _quantize_encoder(params["encoder"])
     for di, cname in ((1, "conv1"), (2, "conv2"), (3, "conv3")):
         k = params[cname]["kernel"]
         ca = k.shape[2] // 2
@@ -222,25 +298,77 @@ def quantize_resunet(params, batch_stats, act_scales):
     return {"qweights": qw, "act_scales": dict(act_scales)}
 
 
+def quantize_fpn(params, batch_stats, act_scales):
+    """Quantize the FPN's conv sites (encoder + laterals + seg blocks);
+    returns the bundle consumed by :func:`make_quantized_infer_step`."""
+    qw = _quantize_encoder(params["encoder"])
+    for name in ("lateral5", "lateral4", "lateral3", "lateral2"):
+        qw[name] = quantize_weights(params[name]["kernel"])
+    for i, n_blocks in enumerate((3, 2, 1, 1)):
+        for j in range(n_blocks):
+            name = f"seg{i}_{j}"
+            qw[f"{name}.conv"] = quantize_weights(
+                params[name]["Conv_0"]["kernel"])
+    return {"qweights": qw, "act_scales": dict(act_scales)}
+
+
+QUANTIZERS = {"unet": quantize_resunet, "fpn": quantize_fpn}
+
+
 def make_quantized_infer_step(params, batch_stats, bundle,
-                              output_size: int):
+                              output_size: int, forward=resunet_forward):
     """jitted ``step(image_u8) → probs`` on the int8 path."""
     act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
 
     @jax.jit
     def step(image):
         ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])
-        return resunet_forward(ctx, params, batch_stats, image, output_size)
+        return forward(ctx, params, batch_stats, image, output_size)
 
     return step
 
 
-def make_float_infer_step(params, batch_stats, output_size: int):
+def make_float_infer_step(params, batch_stats, output_size: int,
+                          forward=resunet_forward):
     """jitted float-mode mirror (for parity tests vs ``model.apply``)."""
 
     @jax.jit
     def step(image):
         ctx = _Ctx("float")
-        return resunet_forward(ctx, params, batch_stats, image, output_size)
+        return forward(ctx, params, batch_stats, image, output_size)
 
     return step
+
+
+def quantize_model(model_name: str, params, batch_stats, calib_batches,
+                   output_size: int):
+    """One-call post-training quantization for a supported model:
+    calibrates activation scales on ``calib_batches`` (uint8 NHWC) and
+    returns ``(bundle, forward)`` for :func:`make_quantized_infer_step` /
+    :func:`make_quantized_infer_fn`."""
+    if model_name not in FORWARDS:
+        raise ValueError(
+            f"no int8 path for model {model_name!r} "
+            f"(supported: {sorted(FORWARDS)})")
+    forward = FORWARDS[model_name]
+    scales = calibrate(params, batch_stats, calib_batches, output_size,
+                       forward=forward)
+    bundle = QUANTIZERS[model_name](params, batch_stats, scales)
+    return bundle, forward
+
+
+def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,
+                            forward=resunet_forward):
+    """Raw (unjitted) ``fn(state, images_u8) → probs`` with the WSI
+    runners' ``infer_step`` signature (``infer/wsi.py`` /
+    ``infer/wsi_sharded.py``): traceable inside their jit/shard_map
+    programs; the ``state`` argument is ignored (weights are baked in as
+    int8 constants)."""
+    act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
+
+    def fn(state, images):
+        del state
+        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])
+        return forward(ctx, params, batch_stats, images, output_size)
+
+    return fn

@@ -261,7 +261,10 @@ class BandedSlidingWindow:
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  band_h: Optional[int] = None, tta: bool = False,
                  blend: str = "hann", num_workers: int = 8,
-                 stain: str = "none") -> None:
+                 stain: str = "none", infer_step=None) -> None:
+        """``infer_step``: optional ``step(state, images_u8) → probs``
+        override replacing the default fused tile→mask step — e.g. the
+        int8 quantized path (``infer.quantized.make_quantized_infer_fn``)."""
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -273,7 +276,7 @@ class BandedSlidingWindow:
         assert self.band_h >= tile
         self.blend = blend
         self._infer = _make_tta_infer(
-            make_infer_step(model, tile, stain=stain), tta
+            infer_step or make_infer_step(model, tile, stain=stain), tta
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 

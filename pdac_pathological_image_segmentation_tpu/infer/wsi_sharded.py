@@ -65,7 +65,14 @@ class ShardedSlidingWindow:
 
     def __init__(self, model, state, mesh: Mesh, tile: int = 512,
                  batch_per_device: int = 8, blend: str = "hann",
-                 tta: bool = False, stain: str = "none") -> None:
+                 tta: bool = False, stain: str = "none",
+                 infer_step=None) -> None:
+        """``infer_step``: optional raw ``step(state, images_u8) → probs``
+        override replacing the default fused tile→mask step — e.g. the
+        int8 quantized path (``infer.quantized.make_quantized_infer_fn``);
+        it is traced inside the per-device ``shard_map`` program, so the
+        override must be traceable (plain function or jitted — jit inlines
+        under trace)."""
         from pdac_pathological_image_segmentation_tpu.infer.wsi import (
             _make_tta_infer,
         )
@@ -80,7 +87,7 @@ class ShardedSlidingWindow:
         self.blend = blend
         self.state = state
         # raw (unjitted) tile→probs fn; it is traced inside the shard_map
-        raw_infer = make_infer_step(model, tile, stain=stain)
+        raw_infer = infer_step or make_infer_step(model, tile, stain=stain)
         self._infer = _make_tta_infer(raw_infer, tta)
 
     # ------------------------------------------------------------------

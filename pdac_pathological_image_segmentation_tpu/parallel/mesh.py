@@ -35,15 +35,29 @@ DATA_AXIS = "data"
 def initialize_distributed() -> None:
     """Multi-host init (replaces ``dist.init_process_group``,
     ``train_worker.py:140-145``).  No-op when single-process or already
-    initialized; on TPU pods the coordinator address/ranks come from the
-    runtime environment, no ``tcp://`` config key needed."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            pass  # already initialized
+    initialized.  On TPU pods the coordinator address/ranks come from the
+    runtime environment (``jax.distributed.initialize()`` auto-detects) —
+    no ``tcp://`` config key needed; for manual launches (including the
+    2-process CPU smoke, ``tests/test_multihost.py``) set
+    ``JAX_COORDINATOR_ADDRESS`` plus ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``."""
+    # NOTE: must not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes the runtime single-process and makes a
+    # later distributed.initialize() a no-op.
+    if jax.distributed.is_initialized():
+        return
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized
 
 
 def create_mesh(num_devices: Optional[int] = None) -> Mesh:

@@ -34,7 +34,14 @@ class TrainState(struct.PyTreeNode):
 
     def with_lr(self, lr: float) -> "TrainState":
         hp = dict(self.opt_state.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        old = hp["learning_rate"]
+        new = jnp.asarray(lr, dtype=jnp.float32)
+        # keep the leaf's (replicated) sharding: a bare jnp.asarray is a
+        # host-local single-device array, which multi-host Orbax refuses to
+        # serialize (surfaced by tests/test_multihost.py at process_count=2)
+        if isinstance(old, jax.Array):
+            new = jax.device_put(new, old.sharding)
+        hp["learning_rate"] = new
         return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
 
     def apply_gradients(self, grads: Any) -> "TrainState":
