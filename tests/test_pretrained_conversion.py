@@ -133,3 +133,68 @@ def test_strict_coverage_rejects_partial_state_dict():
             sd, variables["params"], variables["batch_stats"],
             encoder_key=None,
         )
+
+
+def test_converted_artifact_activation_parity(tmp_path):
+    """Golden-activation parity for the FULL offline chain: a real
+    torch-serialized resnet18 .pth (exact torchvision layout) → CLI
+    conversion → .npz → ``load_pretrained_encoder`` → flax encoder — every
+    encoder stage's activations must match torch execution of the same
+    weights.  This is the validation the real
+    ``resnet18-f37072fd.pth`` passes through when a user converts it
+    (no network egress here, so the weights are random; the chain —
+    serialization, spec check, layout transforms, graft — is identical)."""
+    from test_resunet_golden import _TorchResNet18
+
+    torch.manual_seed(21)
+    twin = _TorchResNet18().eval()
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd = {k: v for k, v in twin.state_dict().items()}
+    # the twin has no fc head; torchvision's artifact does — add it so the
+    # CLI's strict key-set check sees the canonical layout
+    sd["fc.weight"] = torch.zeros(1000, 512)
+    sd["fc.bias"] = torch.zeros(1000)
+    pth = tmp_path / "resnet18.pth"
+    torch.save(sd, pth)
+
+    out = tmp_path / "resnet18_imagenet.npz"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "convert_torchvision_resnet18.py"),
+         "--pth", str(pth), "--out", str(out), "--allow-sha-mismatch"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    enc, variables = _enc_variables()
+    params, batch_stats = load_pretrained_encoder(
+        str(out), {"encoder": variables["params"]},
+        {"encoder": variables["batch_stats"]},
+    )
+
+    x = RNG.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.as_tensor(x)
+        c1 = twin.relu(twin.bn1(twin.conv1(t)))
+        y = twin.maxpool(c1)
+        c2 = twin.layer1(y)
+        c3 = twin.layer2(c2)
+        c4 = twin.layer3(c3)
+        c5 = twin.layer4(c4)
+        torch_feats = [c.numpy() for c in (c1, c2, c3, c4, c5)]
+
+    flax_feats = enc.apply(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    for i, (tf, ff) in enumerate(zip(torch_feats, flax_feats)):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ff), (0, 3, 1, 2)), tf,
+            rtol=2e-3, atol=1e-4,
+            err_msg=f"stage c{i + 1} mismatch after conversion",
+        )
