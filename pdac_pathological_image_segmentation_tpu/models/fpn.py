@@ -47,11 +47,16 @@ class _GNReLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        if self.use_pallas and not train and on_tpu:
+        if self.use_pallas and on_tpu:
             from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
                 group_norm_relu,
+                group_norm_relu_trainable,
             )
 
+            if train:
+                # Pallas forward + analytic XLA backward (custom VJP)
+                return group_norm_relu_trainable(
+                    x, scale, bias, self.num_groups, self.eps)
             return group_norm_relu(x, scale, bias,
                                    num_groups=self.num_groups, eps=self.eps)
         from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (

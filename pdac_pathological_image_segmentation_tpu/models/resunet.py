@@ -12,9 +12,9 @@ Reference: ``models/resunet.py:7-58``.  Faithfully reproduced details:
   (``models/resunet.py:48-56``).  Output is logits (sigmoid applied by
   callers, ``train_worker.py:72``).
 
-``features()`` exposes the pre-head decoder activations so the fused Pallas
-inference head (``ops/pallas/fused_head.py``) can consume them together with
-the ``conv4`` parameters.
+``features()`` exposes the pre-head decoder activations for streaming
+consumers that fuse their own head (e.g. quantized serving,
+``infer/quantized.py``).
 """
 
 from __future__ import annotations

@@ -285,3 +285,59 @@ def xla_group_norm_relu(x, gamma, beta, num_groups=32, eps=1e-6, relu=True):
     if relu:
         y = jnp.maximum(y, 0.0)
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: Pallas forward + analytic XLA backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def group_norm_relu_trainable(x, gamma, beta, num_groups=32, eps=1e-6,
+                              relu=True, interpret=False):
+    """``group_norm_relu`` with a custom VJP so the fused Pallas forward is
+    usable in training (the kernel itself has no differentiation rule).
+    The backward is the analytic GroupNorm gradient in plain XLA —
+    numerically the same cotangents as differentiating
+    :func:`xla_group_norm_relu` (pinned by
+    ``tests/test_pallas_ops.py::test_group_norm_trainable_grads``)."""
+    return group_norm_relu(x, gamma, beta, num_groups=num_groups, eps=eps,
+                           relu=relu, interpret=interpret)
+
+
+def _gn_trainable_fwd(x, gamma, beta, num_groups, eps, relu, interpret):
+    out = group_norm_relu(x, gamma, beta, num_groups=num_groups, eps=eps,
+                          relu=relu, interpret=interpret)
+    # residuals: mean/rstd are recomputed in the backward (one cheap reduce
+    # pass) instead of being saved — the Pallas kernel doesn't emit them
+    return out, (x, gamma, out)
+
+
+def _gn_trainable_bwd(num_groups, eps, relu, interpret, res, dy):
+    x, gamma, out = res
+    n, h, w, c = x.shape
+    g, cg = num_groups, c // num_groups
+
+    dyf = dy.astype(jnp.float32)
+    if relu:
+        # pre-ReLU zero crossings are measure-zero: mask on the saved output
+        dyf = dyf * (out > 0).astype(jnp.float32)
+
+    xf = x.astype(jnp.float32).reshape(n, h * w, g, cg)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+
+    dyr = dyf.reshape(n, h * w, g, cg)
+    dgamma = jnp.sum(dyr * xhat, axis=(0, 1)).reshape(c).astype(gamma.dtype)
+    dbeta = jnp.sum(dyr, axis=(0, 1)).reshape(c).astype(gamma.dtype)
+
+    dxhat = dyr * gamma.astype(jnp.float32).reshape(1, 1, g, cg)
+    m1 = jnp.mean(dxhat, axis=(1, 3), keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=(1, 3), keepdims=True)
+    dx = ((dxhat - m1 - xhat * m2) * rstd).reshape(n, h, w, c).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+group_norm_relu_trainable.defvjp(_gn_trainable_fwd, _gn_trainable_bwd)

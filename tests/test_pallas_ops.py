@@ -8,32 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pdac_pathological_image_segmentation_tpu.ops.pallas.fused_head import (
-    fused_head_probs,
-    xla_head_probs,
-)
-
 RNG = np.random.default_rng(0)
-
-
-@pytest.mark.parametrize("h,s", [(32, 128), (16, 16)])
-def test_fused_head_matches_xla(h, s):
-    x = jnp.asarray(RNG.normal(size=(2, h, h, 64)), jnp.float32)
-    w = jnp.asarray(RNG.normal(size=(1, 1, 64, 1)), jnp.float32)
-    b = jnp.asarray(RNG.normal(size=(1,)), jnp.float32)
-    ref = xla_head_probs(x, w, b, s)
-    out = fused_head_probs(x, w, b, out_size=s, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_fused_head_bf16_features():
-    x = jnp.asarray(RNG.normal(size=(1, 16, 16, 64)), jnp.bfloat16)
-    w = jnp.asarray(RNG.normal(size=(1, 1, 64, 1)), jnp.float32)
-    b = jnp.zeros((1,), jnp.float32)
-    out = fused_head_probs(x, w, b, out_size=64, interpret=True)
-    assert out.shape == (1, 64, 64) and out.dtype == jnp.float32
-    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
 def test_group_norm_relu_matches_flax():
@@ -72,3 +47,47 @@ def test_group_norm_no_relu():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     assert float(out.min()) < 0  # relu really off
+
+
+def test_group_norm_trainable_grads():
+    """custom-VJP GroupNorm (Pallas fwd, analytic XLA bwd) must produce the
+    same cotangents as differentiating the plain-XLA reference."""
+    from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
+        group_norm_relu_trainable,
+        xla_group_norm_relu,
+    )
+
+    x = jnp.asarray(RNG.normal(size=(2, 8, 8, 64)), jnp.float32)
+    gamma = jnp.asarray(RNG.normal(size=(64,)) * 0.5 + 1.0, jnp.float32)
+    beta = jnp.asarray(RNG.normal(size=(64,)) * 0.1, jnp.float32)
+    dy = jnp.asarray(RNG.normal(size=(2, 8, 8, 64)), jnp.float32)
+
+    def loss_ref(x, g, b):
+        return jnp.sum(xla_group_norm_relu(x, g, b, num_groups=32) * dy)
+
+    def loss_pallas(x, g, b):
+        return jnp.sum(
+            group_norm_relu_trainable(x, g, b, 32, 1e-6, True, True) * dy)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gamma, beta)
+    for r, g_ in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_group_norm_trainable_bf16():
+    from pdac_pathological_image_segmentation_tpu.ops.pallas.group_norm import (
+        group_norm_relu_trainable,
+    )
+
+    x = jnp.asarray(RNG.normal(size=(1, 8, 8, 64)), jnp.bfloat16)
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+
+    def loss(x):
+        return jnp.sum(group_norm_relu_trainable(
+            x, gamma, beta, 32, 1e-5, True, True).astype(jnp.float32))
+
+    dx = jax.grad(loss)(x)
+    assert dx.shape == x.shape and dx.dtype == jnp.bfloat16
