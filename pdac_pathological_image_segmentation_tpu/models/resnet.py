@@ -153,10 +153,13 @@ class _StemConv(nn.Module):
             )
 
             return folded_stem_conv(x, kernel)
-        return jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # identical forward; custom VJP computes the weight gradient as an
+        # im2col matmul (8.7 → ~3.5 ms at bs=256, ops/stem_conv.py)
+        from pdac_pathological_image_segmentation_tpu.ops.stem_conv import (
+            stem_conv_7x7_s2,
         )
+
+        return stem_conv_7x7_s2(x, kernel)
 
 
 class ResNetEncoder(nn.Module):
@@ -254,6 +257,11 @@ class ResNetEncoder(nn.Module):
         y = self.conv1(x)
         y = self.bn1(y, use_running_average=not train)
         c1 = nn.relu(y)
-        # 3×3/2 maxpool (stride 4)
-        y = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # 3×3/2 maxpool (stride 4); custom VJP replaces the backward's
+        # select-and-scatter with argmax gathers (ops/pooling.py)
+        from pdac_pathological_image_segmentation_tpu.ops.pooling import (
+            maxpool_3x3_s2,
+        )
+
+        y = maxpool_3x3_s2(c1)
         return [c1] + self.stages(y, train=train)  # [c1, c2, c3, c4, c5]
