@@ -20,7 +20,16 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 SERVING_COMPILER_OPTIONS: Mapping[str, str] = {
-    "xla_tpu_scoped_vmem_limit_kib": "46080",
+    # round-3 probe sweep (BASELINE.md): the bundle-aware fusion cost model
+    # crossed the north star, and it MOVES the scoped-vmem optimum — the
+    # old 45 MiB sweet spot becomes 64 MiB under the new model
+    # (bundle-aware sweep: 42M→4,867 · 45M→5,012 · 48M→4,977 ·
+    # 64M→5,120 patches/s; without it 45M→4,942 was the peak.  Rejected
+    # from the same sweep: memory-bound-loop optimizer 4,899,
+    # conv-input-fusion-off 3,456, same-offset-scoped-vmem-off 4,946,
+    # licm-inflation-2.0 4,936, dot-strength-reduction-off 4,935)
+    "xla_tpu_scoped_vmem_limit_kib": "65536",
+    "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true",
 }
 
 # The training program prefers a larger window (bs=256 sweep:
