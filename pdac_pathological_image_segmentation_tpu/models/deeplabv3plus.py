@@ -23,10 +23,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pdac_pathological_image_segmentation_tpu.models.encoders import build_encoder
 from pdac_pathological_image_segmentation_tpu.models.resnet import (
     BN_EPS,
     BN_MOMENTUM,
-    ResNetEncoder,
 )
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
@@ -105,8 +105,8 @@ class DeepLabV3Plus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        _, c2, _, _, c5 = ResNetEncoder(
-            backbone=self.backbone, output_stride=16, dtype=self.dtype,
+        _, c2, _, _, c5 = build_encoder(
+            self.backbone, output_stride=16, dtype=self.dtype,
             name="encoder",
         )(x, train=train)
 

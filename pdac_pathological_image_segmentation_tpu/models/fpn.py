@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pdac_pathological_image_segmentation_tpu.models.resnet import ResNetEncoder
+from pdac_pathological_image_segmentation_tpu.models.encoders import build_encoder
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
 
@@ -96,8 +96,8 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        _, c2, c3, c4, c5 = ResNetEncoder(
-            backbone=self.backbone, dtype=self.dtype, name="encoder"
+        _, c2, c3, c4, c5 = build_encoder(
+            self.backbone, dtype=self.dtype, name="encoder"
         )(x, train=train)
 
         pc = self.pyramid_channels

@@ -23,10 +23,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pdac_pathological_image_segmentation_tpu.models.encoders import build_encoder
 from pdac_pathological_image_segmentation_tpu.models.resnet import (
     BN_EPS,
     BN_MOMENTUM,
-    ResNetEncoder,
 )
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
@@ -83,8 +83,8 @@ class PSPNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # encoder depth 3: deepest used feature is layer2's output (stride 8)
-        _, _, c3, _, _ = ResNetEncoder(
-            backbone=self.backbone, dtype=self.dtype, name="encoder"
+        _, _, c3, _, _ = build_encoder(
+            self.backbone, dtype=self.dtype, name="encoder"
         )(x, train=train)
 
         in_ch = c3.shape[-1]

@@ -27,14 +27,9 @@ def build_model(cfg: Config) -> nn.Module:
         head_dtype = _DTYPES[
             str(cfg.extras.get("head_dtype", "float32")).lower()
         ]
-        # fused Pallas stem is opt-in (cfg extra `fused_stem: true`): the
-        # kernel must prove a measured in-model win before riding the
-        # default serving path (keep-whichever-wins, ROADMAP #1)
         return ResUNet(num_classes=cfg.num_classes, output_size=cfg.img_size,
                        backbone="resnet18", dtype=dtype,
                        head_dtype=head_dtype,
-                       use_pallas=cfg.use_pallas
-                       and bool(cfg.extras.get("fused_stem", False)),
                        stage0_residual_barrier=bool(
                            cfg.extras.get("layer1_barrier", False)))
     if cfg.model == "fpn":

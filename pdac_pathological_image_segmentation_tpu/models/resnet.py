@@ -22,6 +22,7 @@ from typing import Any, List, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # torchvision layer configs
 RESNET_CFGS = {
@@ -153,13 +154,15 @@ class _StemConv(nn.Module):
             )
 
             return folded_stem_conv(x, kernel)
-        # identical forward; custom VJP computes the weight gradient as an
-        # im2col matmul (8.7 → ~3.5 ms at bs=256, ops/stem_conv.py)
-        from pdac_pathological_image_segmentation_tpu.ops.stem_conv import (
-            stem_conv_7x7_s2,
-        )
-
-        return stem_conv_7x7_s2(x, kernel)
+        # plain XLA conv — its native wgrad (8.7 ms at bs=256) beat both
+        # custom-VJP im2col formulations on v5e: whole-batch patches OOM
+        # (4.9 GB materialized), and a lax.scan-chunked version serialized
+        # into a 312 ms while-loop of layout copies (r3 profile,
+        # BASELINE.md).  The narrow 3-channel contraction is simply what
+        # the hardware gives for this shape.
+        return lax.conv_general_dilated(
+            x, kernel, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class ResNetEncoder(nn.Module):
@@ -171,8 +174,7 @@ class ResNetEncoder(nn.Module):
     (DeepLabV3+ needs 16).
 
     Setup-style so :meth:`stages` can run the residual stages from an
-    externally computed stem+pool activation — the entry the fused Pallas
-    stem kernel (``ops/pallas/fused_stem.py``) feeds on the inference path.
+    externally computed stem+pool activation.
     """
 
     backbone: str = "resnet18"
@@ -184,8 +186,6 @@ class ResNetEncoder(nn.Module):
     # handling of the 7×7/2 stem on v5e (3,448 vs 3,603 patches/s end-to-end,
     # r1 bench): the s2d re-layout costs more HBM traffic than the fuller MXU
     # contraction saves.  Kept opt-in per the keep-whichever-wins rule.
-    # (The *fused* stem+pool Pallas kernel, which keeps the s2d view in VMEM,
-    # is a different story — see ops/pallas/fused_stem.py.)
     fold_stem: bool = False
     dtype: Any = jnp.float32
 
@@ -258,7 +258,8 @@ class ResNetEncoder(nn.Module):
         y = self.bn1(y, use_running_average=not train)
         c1 = nn.relu(y)
         # 3×3/2 maxpool (stride 4); custom VJP replaces the backward's
-        # select-and-scatter with argmax gathers (ops/pooling.py)
+        # select-and-scatter with recomputed first-max hit masks
+        # (ops/pooling.py)
         from pdac_pathological_image_segmentation_tpu.ops.pooling import (
             maxpool_3x3_s2,
         )

@@ -144,8 +144,6 @@ class ResUNet(nn.Module):
     # HBM traffic of the largest output-path tensors (config extra
     # ``head_dtype: bfloat16`` — serving-path option, ~2 ms/step at bs=512).
     head_dtype: Any = jnp.float32
-    # allow the fused Pallas stem on the inference path (cfg.use_pallas)
-    use_pallas: bool = True
     # decoder upsamples as einsum+pixel-shuffle (UpConv) instead of
     # lax.conv_transpose — same params/math, different lowering.  Off by
     # default: einsum wins isolated (23.9 vs 45.3 ms) but LOSES in-model
@@ -187,20 +185,6 @@ class ResUNet(nn.Module):
         y = nn.relu(self.conv1(self.upconv1(x5), x4))
         y = nn.relu(self.conv2(self.upconv2(y), x3))
         y = nn.relu(self.conv3(self.upconv3(y), x2))
-        return y
-
-    def forward_pooled(self, pooled: jax.Array,
-                       train: bool = False) -> jax.Array:
-        """Forward from the post-stem/pool activation (N,H/4,W/4,64) — the
-        entry the fused Pallas stem kernel feeds (ops/pallas/fused_stem.py).
-        Valid because the reference topology never consumes the stem skip x1
-        (``models/resunet.py:25-33`` quirk)."""
-        x2, x3, x4, x5 = self.encoder.stages(pooled, train=train)
-        y = self.conv4(self._decode(x2, x3, x4, x5))
-        if self.num_classes == 1:
-            y = y[..., None]
-        y = resize_bilinear(y.astype(self.head_dtype), self.output_size,
-                            self.output_size, compute_dtype=self.head_dtype)
         return y
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -17,10 +17,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pdac_pathological_image_segmentation_tpu.models.encoders import build_encoder
 from pdac_pathological_image_segmentation_tpu.models.resnet import (
     BN_EPS,
     BN_MOMENTUM,
-    ResNetEncoder,
 )
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
@@ -56,8 +56,8 @@ class UNetPlusPlus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        feats = ResNetEncoder(
-            backbone=self.backbone, dtype=self.dtype, name="encoder"
+        feats = build_encoder(
+            self.backbone, dtype=self.dtype, name="encoder"
         )(x, train=train)  # [c1@2, c2@4, c3@8, c4@16, c5@32]
 
         depth = len(feats) - 1  # 4 decoder rows

@@ -2,32 +2,37 @@
 
 XLA lowers max-pool's backward as ``select_and_scatter``, which the TPU
 backend executes inefficiently (8.8 ms of the 223 ms bs=256 train step,
-round-2 profile in BASELINE.md).  This op keeps the forward identical
-(``lax.reduce_window`` max — the serving path never changes) but, under
-differentiation, records the argmax of every window via a single packed
-``reduce_window`` over ``uint32`` keys and computes the backward as four
-masked gathers — one read of (dy, idx) and one write of dx instead of the
-scatter's strided read-modify-write walk.
+round-2 profile in BASELINE.md).  This op keeps the forward EXACTLY the
+stock ``lax.reduce_window`` max (serving path and forward cost never
+change) and replaces only the backward.
 
-Packing (the bf16 fast path):
-* post-ReLU activations are non-negative, and the IEEE bit pattern of a
-  non-negative float is **monotonic** in its value — so ``bitcast(x,
-  uint16)`` compares like ``x``;
-* ``key = bits << 16 | (0xFFFF − flat_index)``: the window max over keys
-  is the window max over values, ties broken toward the SMALLEST flat
-  index — exactly XLA ``select_and_scatter``'s first-match semantics (and
+Backward (recompute-based, elementwise-only):
+* residuals are ``(x, out)`` — both already live in the training backward
+  (``x`` is the stem ReLU output needed by the ReLU VJP; ``out`` feeds
+  layer1), so saving them costs nothing;
+* for each of the 9 in-window offsets ``(ry, rx)`` (window ``(oy, ox)``
+  covers input position ``(2·oy−1+ry, 2·ox−1+rx)``), a shifted stride-2
+  view of the padded input is compared against ``out``; a running ``seen``
+  mask keeps only the FIRST position per window that attains the max —
+  exactly ``select_and_scatter``'s first-match scan-order semantics (and
   torch's), so gradients are bit-identical to the stock backward;
-* the low half decodes to the argmax position, stored as ``uint16``
-  residuals (needs ``H·W ≤ 65536`` — true for the 512² stem path, 256²).
+* ``dx`` assembles from the 9 masked ``dy`` terms by output PARITY: even
+  rows receive only ry=1 terms, odd rows ry∈{2, 0-shifted} (likewise for
+  columns), and the four (N, OH, OW, C) parity planes interleave with
+  stack + reshape.
 
-Backward: input row ``iy`` is covered by window rows ``iy//2`` and (odd
-rows only) ``(iy+1)//2`` — ≤4 windows per input position — so ``dx``
-assembles from four ``take``-gathered (dy·(idx==flat)) terms that XLA
-fuses into one output pass.
+Everything is elementwise + strided slices + concatenate: no gathers, no
+scatters, no interior-dilated pads, no batch-sized integer temporaries.
+(Three rejected formulations, measured on v5e at bs=256: packed u32
+value|index keys OOMed at compile whole-batch — 17 GB of s32 temps;
+the same chunked over the batch with ``lax.map`` compiled but serialized
+into a 97 ms while-loop of layout copies; 9 interior-dilated ``lax.pad``s
+materialized 9× 2 GB buffers — XLA:TPU refuses to fuse dilated pads into
+an add chain.)
 
-Ineligible cases (f32 parity path, CPU tests, oversized grids) fall back
-to the stock ``select_and_scatter`` backward via ``jax.vjp`` inside the
-custom bwd — same numbers as before, by construction.
+Ineligible cases (f32 parity path, CPU tests, odd spatial sizes) fall
+back to the stock ``select_and_scatter`` backward via ``jax.vjp`` inside
+the custom bwd — same numbers as before, by construction.
 """
 
 from __future__ import annotations
@@ -48,7 +53,7 @@ def _plain_pool(x: jax.Array) -> jax.Array:
                              _PADDING)
 
 
-def _packed_eligible(x: jax.Array, mode: str) -> bool:
+def _fast_eligible(x: jax.Array, mode: str) -> bool:
     if mode == "packed":
         return True
     if mode == "fallback":
@@ -56,7 +61,6 @@ def _packed_eligible(x: jax.Array, mode: str) -> bool:
     n, h, w, c = x.shape
     return (
         x.dtype == jnp.bfloat16
-        and h * w <= 65536
         and h % 2 == 0 and w % 2 == 0
         and jax.default_backend() in ("tpu", "axon")
     )
@@ -66,32 +70,22 @@ def _packed_eligible(x: jax.Array, mode: str) -> bool:
 def maxpool_3x3_s2(x: jax.Array, mode: str = "auto") -> jax.Array:
     """3×3 stride-2 same-padded max pool (torchvision stem semantics).
 
-    ``x`` must be non-negative on the packed path (post-ReLU — the only
-    call site, ``models/resnet.py``).  ``mode``: ``auto`` (packed when
-    eligible), ``packed``, ``fallback`` (tests)."""
+    ``x`` must be non-negative on the fast path (post-ReLU — the only
+    call site, ``models/resnet.py``).  ``mode``: ``auto`` (fast backward
+    when eligible), ``packed`` (force fast), ``fallback`` (tests)."""
     return _plain_pool(x)
 
 
 def _fwd(x: jax.Array, mode: str):
-    if not _packed_eligible(x, mode):
-        out = _plain_pool(x)
+    out = _plain_pool(x)
+    if not _fast_eligible(x, mode):
         return out, (x, None)
-    n, h, w, c = x.shape
-    flat = (jnp.arange(h, dtype=jnp.uint32)[:, None] * w
-            + jnp.arange(w, dtype=jnp.uint32)[None, :])  # (H, W)
-    bits = lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.uint32)
-    key = (bits << 16) | (0xFFFF - flat)[None, :, :, None]
-    out_key = lax.reduce_window(key, jnp.uint32(0), lax.max, _WINDOW,
-                                _STRIDES, _PADDING)
-    out = lax.bitcast_convert_type(
-        (out_key >> 16).astype(jnp.uint16), jnp.bfloat16)
-    idx = (0xFFFF - (out_key & 0xFFFF)).astype(jnp.uint16)
-    return out, (None, idx)
+    return out, (x, out)
 
 
 def _bwd(mode: str, res, dy: jax.Array):
-    x, idx = res
-    if idx is None:
+    x, out = res
+    if out is None:
         # stock select_and_scatter backward (f32 parity / CPU path)
         _, vjp_fn = jax.vjp(_plain_pool, x)
         (dx,) = vjp_fn(dy)
@@ -99,39 +93,47 @@ def _bwd(mode: str, res, dy: jax.Array):
 
     n, oh, ow, c = dy.shape
     h, w = oh * 2, ow * 2
-    idx = idx.astype(jnp.int32)
+    # pad with −1: x is post-ReLU (≥ 0) so the pad never attains the max
+    # (even an all-zero window's max is 0 > −1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-1.0)
 
-    iy = jnp.arange(h)
-    ix = jnp.arange(w)
-    # window rows covering input row iy: iy//2 always; (iy+1)//2 for odd iy
-    oy_a = iy // 2
-    oy_b = jnp.minimum((iy + 1) // 2, oh - 1)
-    my_b = ((iy % 2) == 1) & ((iy + 1) // 2 <= oh - 1)
-    ox_a = ix // 2
-    ox_b = jnp.minimum((ix + 1) // 2, ow - 1)
-    mx_b = ((ix % 2) == 1) & ((ix + 1) // 2 <= ow - 1)
+    def view(ry: int, rx: int) -> jax.Array:
+        # xs[n, oy, ox, c] = x[n, 2·oy−1+ry, 2·ox−1+rx, c]  (−1 off-image)
+        return lax.slice(
+            xp,
+            (0, ry, rx, 0),
+            (n, ry + 2 * oh - 1, rx + 2 * ow - 1, c),
+            (1, 2, 2, 1),
+        )
 
-    flat = (iy[:, None] * w + ix[None, :]).astype(jnp.int32)  # (H, W)
-    flat = flat[None, :, :, None]
+    zero = jnp.zeros((), dy.dtype)
+    # first-max-wins scan over the window in select_and_scatter's order
+    seen = jnp.zeros(dy.shape, bool)
+    terms = {}
+    for ry in range(3):
+        for rx in range(3):
+            is_max = view(ry, rx) == out
+            terms[(ry, rx)] = jnp.where(is_max & ~seen, dy, zero)
+            seen = seen | is_max
 
-    def term(oy, ox, valid):
-        d = jnp.take(jnp.take(dy, oy, axis=1), ox, axis=2)
-        i = jnp.take(jnp.take(idx, oy, axis=1), ox, axis=2)
-        hit = (i == flat) & valid
-        return jnp.where(hit, d, jnp.zeros((), dy.dtype))
+    def shift_r(v: jax.Array) -> jax.Array:  # window row oy = k+1
+        return jnp.concatenate([v[:, 1:], jnp.zeros_like(v[:, :1])], axis=1)
 
-    ones_y = jnp.ones((h,), bool)
-    ones_x = jnp.ones((w,), bool)
+    def shift_c(v: jax.Array) -> jax.Array:  # window col ox = l+1
+        return jnp.concatenate([v[:, :, 1:], jnp.zeros_like(v[:, :, :1])],
+                               axis=2)
 
-    def vmask(my, mx):
-        return (my[:, None] & mx[None, :])[None, :, :, None]
-
-    dx = (
-        term(oy_a, ox_a, vmask(ones_y, ones_x))
-        + term(oy_a, ox_b, vmask(ones_y, mx_b))
-        + term(oy_b, ox_a, vmask(my_b, ones_x))
-        + term(oy_b, ox_b, vmask(my_b, mx_b))
-    )
+    # add order per position = ascending (oy, ox) — matches
+    # select_and_scatter's accumulation, keeping multi-hit bf16 sums
+    # bit-identical to the stock backward
+    ee = terms[(1, 1)]
+    eo = terms[(1, 2)] + shift_c(terms[(1, 0)])
+    oe = terms[(2, 1)] + shift_r(terms[(0, 1)])
+    oo = (terms[(2, 2)] + shift_c(terms[(2, 0)])
+          + shift_r(terms[(0, 2)]) + shift_r(shift_c(terms[(0, 0)])))
+    even = jnp.stack([ee, eo], axis=3)  # (N, OH, OW, 2, C)
+    odd = jnp.stack([oe, oo], axis=3)
+    dx = jnp.stack([even, odd], axis=2).reshape(n, h, w, c)
     return (dx,)
 
 

@@ -224,62 +224,21 @@ def _can_fold_stem(params) -> bool:
         return False
 
 
-def _can_fuse_stem(model, params, image_shape, img_size, stain) -> bool:
-    """Pallas fused-stem eligibility: TPU, bf16 model, native-size uint8
-    input, no stain hook, torchvision stem shapes, and a model exposing
-    ``forward_pooled``."""
-    if stain != "none" or not hasattr(model, "forward_pooled"):
-        return False
-    if getattr(model, "dtype", None) != jnp.bfloat16:
-        return False
-    if not getattr(model, "use_pallas", True):
-        return False
-    if jax.devices()[0].platform not in ("tpu", "axon"):
-        return False
-    if image_shape[1] != img_size or image_shape[2] != img_size:
-        return False
-    if img_size % 32:
-        return False
-    return _can_fold_stem(params)
-
-
 def make_infer_step(model: nn.Module, img_size: int, stain: str = "none"):
     """Returns jitted ``step(state, image_u8) → probs`` — the binary
     tile→mask inference path (resize+normalize+forward+sigmoid fused).
 
-    Fast paths, in preference order:
-    * **fused Pallas stem** (TPU + bf16 + native-size input): uint8 pixels →
-      normalize+conv7×7/2+BN+ReLU+maxpool in one kernel
-      (``ops/pallas/fused_stem.py``), then ``model.forward_pooled``;
-    * **normalize fold**: the ImageNet scale folds into the stem conv
-      weights (:func:`_fold_normalize_into_stem`) and the shift into the
-      input, skipping the separate normalize pass."""
+    Fast path: **normalize fold** — the ImageNet scale folds into the stem
+    conv weights (:func:`_fold_normalize_into_stem`) and the shift into the
+    input, skipping the separate normalize pass.  (A Pallas fused
+    stem+pool kernel was measured and rejected here — 75.8 ms vs ~17.6 for
+    XLA's conv emitter at bs=512, r2/r3 logs in BASELINE.md.)"""
     dtype = getattr(model, "dtype", None) or jnp.float32
 
     @jax.jit
     def step(state: TrainState, image):
         n = image.shape[0]
         params, batch_stats = state.params, state.batch_stats
-        if _can_fuse_stem(model, params, image.shape, img_size, stain):
-            from pdac_pathological_image_segmentation_tpu.ops.pallas.fused_stem import (
-                fold_stem_weights,
-                fused_stem_pool,
-            )
-
-            wt, bias = fold_stem_weights(
-                params["encoder"]["conv1"]["kernel"],
-                params["encoder"]["bn1"]["scale"],
-                params["encoder"]["bn1"]["bias"],
-                batch_stats["encoder"]["bn1"]["mean"],
-                batch_stats["encoder"]["bn1"]["var"],
-            )
-            pooled = fused_stem_pool(image, wt, bias)  # (N,64,H/4,W/4)
-            pooled = jnp.transpose(pooled, (0, 2, 3, 1)).astype(dtype)
-            out = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                pooled, train=False, method="forward_pooled",
-            )
-            return jax.nn.sigmoid(out[..., 0])
         if stain == "none" and _can_fold_stem(params):
             import numpy as np
 

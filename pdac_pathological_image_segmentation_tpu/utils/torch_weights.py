@@ -147,15 +147,116 @@ def convert_resnet_state_dict(
     return params, batch_stats
 
 
+def convert_mobilenetv2_state_dict(
+    sd: Dict[str, np.ndarray],
+    params: Any,
+    batch_stats: Any,
+    encoder_key: str = "encoder",
+    strict: bool = True,
+) -> Tuple[Any, Any]:
+    """Graft torchvision ``mobilenet_v2`` weights (also the encoder layout
+    of smp's ``mobilenet_v2`` zoo entry, reference ``train_worker.py:155``)
+    into flax variables produced by ``MobileNetV2Encoder``.
+
+    torchvision layout → ours (``models/mobilenetv2.py``):
+    * ``features.0.{0,1}`` / ``features.18.{0,1}``  → ``features_{0,18}/conv+bn``
+    * expand-ratio-1 block: ``features.1.conv.{0.0,0.1,1,2}``
+      → ``features_1/{depthwise,project}``
+    * t=6 blocks: ``features.i.conv.{0.0,0.1,1.0,1.1,2,3}``
+      → ``features_i/{expand,depthwise,project}``
+    * depthwise kernels (C,1,H,W) transpose to flax's (H,W,1,C) grouped form.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    p_enc = params[encoder_key] if encoder_key else params
+    b_enc = batch_stats[encoder_key] if encoder_key else batch_stats
+    written: set = set()
+
+    def put_convbn(p_node: dict, b_node: dict, conv_t: str, bn_t: str) -> None:
+        w = sd[conv_t + ".weight"]  # O,I,H,W (I=1 for depthwise)
+        k = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        if tuple(p_node["conv"]["kernel"].shape) != k.shape:
+            raise ValueError(
+                f"{conv_t}: kernel shape mismatch "
+                f"{p_node['conv']['kernel'].shape} vs torch {w.shape}")
+        p_node["conv"]["kernel"] = k
+        p_node["bn"]["scale"] = sd[bn_t + ".weight"].astype(np.float32)
+        p_node["bn"]["bias"] = sd[bn_t + ".bias"].astype(np.float32)
+        b_node["bn"]["mean"] = sd[bn_t + ".running_mean"].astype(np.float32)
+        b_node["bn"]["var"] = sd[bn_t + ".running_var"].astype(np.float32)
+        written.add(id(p_node["conv"]))
+        written.add(id(p_node["bn"]))
+        written.add(id(b_node["bn"]))
+
+    put_convbn(p_enc["features_0"], b_enc["features_0"],
+               "features.0.0", "features.0.1")
+    for i in range(1, 18):
+        pf, bf = p_enc[f"features_{i}"], b_enc[f"features_{i}"]
+        if f"features.{i}.conv.1.weight" in sd and \
+                f"features.{i}.conv.1.0.weight" not in sd:
+            # expand_ratio == 1 (features.1): dw at conv.0, project at conv.1/2
+            put_convbn(pf["depthwise"], bf["depthwise"],
+                       f"features.{i}.conv.0.0", f"features.{i}.conv.0.1")
+            put_convbn(pf["project"], bf["project"],
+                       f"features.{i}.conv.1", f"features.{i}.conv.2")
+        else:
+            put_convbn(pf["expand"], bf["expand"],
+                       f"features.{i}.conv.0.0", f"features.{i}.conv.0.1")
+            put_convbn(pf["depthwise"], bf["depthwise"],
+                       f"features.{i}.conv.1.0", f"features.{i}.conv.1.1")
+            put_convbn(pf["project"], bf["project"],
+                       f"features.{i}.conv.2", f"features.{i}.conv.3")
+    put_convbn(p_enc["features_18"], b_enc["features_18"],
+               "features.18.0", "features.18.1")
+
+    if strict:
+        def check(node, path):
+            if isinstance(node, dict):
+                if any(not isinstance(v, dict) for v in node.values()):
+                    if id(node) not in written:
+                        raise KeyError(
+                            "flax encoder subtree not covered by the torch "
+                            f"state_dict: {'/'.join(path)} — partial graft")
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        check(v, path + (k,))
+
+        check(p_enc, ("params",))
+        check(b_enc, ("batch_stats",))
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return params, batch_stats
+
+
+def convert_encoder_state_dict(
+    enc_sd: Dict[str, np.ndarray],
+    params: Any,
+    batch_stats: Any,
+    encoder_key: str = "encoder",
+) -> Tuple[Any, Any]:
+    """Dispatch the encoder graft by the state_dict's own layout — resnet
+    (``conv1.weight``) vs mobilenet_v2 (``features.0.0.weight``) — so the
+    smp model converters work for every supported ``cfg.backbone``."""
+    if "features.0.0.weight" in enc_sd:
+        return convert_mobilenetv2_state_dict(
+            enc_sd, params, batch_stats, encoder_key=encoder_key)
+    return convert_resnet_state_dict(
+        enc_sd, params, batch_stats, encoder_key=encoder_key)
+
+
 def load_pretrained_encoder(
     path: str, params: Any, batch_stats: Any, encoder_key: str = "encoder"
 ) -> Tuple[Any, Any]:
     sd = _load_state_dict(path)
-    # accept either a bare torchvision ResNet state_dict or a full reference
-    # ResUNet checkpoint (whose encoder lives under "encoder.")
+    # accept either a bare torchvision state_dict or a full reference
+    # checkpoint (whose encoder lives under "encoder.")
     sd = {k[len("encoder."):] if k.startswith("encoder.") else k: v
           for k, v in sd.items()}
-    return convert_resnet_state_dict(sd, params, batch_stats, encoder_key)
+    return convert_encoder_state_dict(sd, params, batch_stats, encoder_key)
 
 
 def convert_resunet_state_dict(
@@ -180,7 +281,7 @@ def convert_resunet_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_resnet_state_dict(
+    params, batch_stats = convert_encoder_state_dict(
         enc_sd, params, batch_stats, encoder_key="encoder"
     )
     params = jax.tree_util.tree_map(np.asarray, params)
@@ -231,7 +332,7 @@ def convert_smp_fpn_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_resnet_state_dict(
+    params, batch_stats = convert_encoder_state_dict(
         enc_sd, params, batch_stats, encoder_key="encoder"
     )
     params = jax.tree_util.tree_map(np.asarray, params)
@@ -287,7 +388,7 @@ def convert_smp_deeplabv3plus_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_resnet_state_dict(
+    params, batch_stats = convert_encoder_state_dict(
         enc_sd, params, batch_stats, encoder_key="encoder"
     )
     params = jax.tree_util.tree_map(np.asarray, params)
@@ -368,7 +469,7 @@ def convert_smp_pspnet_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_resnet_state_dict(
+    params, batch_stats = convert_encoder_state_dict(
         enc_sd, params, batch_stats, encoder_key="encoder"
     )
     params = jax.tree_util.tree_map(np.asarray, params)
