@@ -257,12 +257,11 @@ class ResNetEncoder(nn.Module):
         y = self.conv1(x)
         y = self.bn1(y, use_running_average=not train)
         c1 = nn.relu(y)
-        # 3×3/2 maxpool (stride 4); custom VJP replaces the backward's
-        # select-and-scatter with recomputed first-max hit masks
-        # (ops/pooling.py)
-        from pdac_pathological_image_segmentation_tpu.ops.pooling import (
-            maxpool_3x3_s2,
-        )
-
-        y = maxpool_3x3_s2(c1)
+        # 3×3/2 maxpool (stride 4).  Stock select-and-scatter backward:
+        # two custom-VJP replacements (argmax-gather, recomputed hit
+        # masks) both measured SLOWER end-to-end at bs=256 (519 / 920
+        # vs 1,132 patches/s) — the backward re-reads the 2.1 GB stem
+        # activation per offset while XLA's scatter is one pass.  See
+        # BASELINE.md "Train-step optimization log".
+        y = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return [c1] + self.stages(y, train=train)  # [c1, c2, c3, c4, c5]
