@@ -7,6 +7,20 @@
 // unfiltering PNG scanlines straight into a caller-provided NHWC uint8
 // batch buffer — no Python object churn, no per-image allocations, no GIL.
 //
+// Decode is streaming: IDAT inflates in ~4-row chunks and each complete
+// scanline unfilters immediately while it is still hot in L1/L2, instead
+// of materializing the whole filtered image and re-reading it in a second
+// pass (two full-image passes saved per tile).  The Sub / Average / Paeth
+// unfilters have SSSE3 kernels behind a one-time runtime CPUID dispatch
+// (the build is ISA-baseline x86-64 — no -march=native — so the same .so
+// runs on any host; non-x86 builds keep the scalar path):
+//   * Sub is a strided in-register prefix sum — byte shifts at the pixel
+//     stride (3,6,12 for RGB / 4,8 for RGBA) + a pshufb-splat carry of the
+//     last pixel, 16 filtered bytes per iteration;
+//   * Average / Paeth carry a loop dependency at pixel granularity, so
+//     they vectorize across channels (one pixel per iteration, u16 lanes;
+//     Paeth picks among a/b/c with cmp+blend on the |p-x| distances).
+//
 // Scope: 8-bit non-interlaced PNGs (gray / gray+alpha / RGB / RGBA /
 // palette), which covers QuPath tile exports and PyHIST tiles.  Anything
 // else returns a per-image error code and the Python wrapper falls back to
@@ -26,6 +40,13 @@
 #include <queue>
 #include <thread>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#define PNGLOADER_X86 1
+#include <immintrin.h>
+#else
+#define PNGLOADER_X86 0
+#endif
 
 namespace {
 
@@ -54,6 +75,258 @@ inline uint8_t paeth(int a, int b, int c) {
   if (pa <= pb && pa <= pc) return uint8_t(a);
   if (pb <= pc) return uint8_t(b);
   return uint8_t(c);
+}
+
+// ---------------------------------------------------------------------------
+// Scalar unfilter kernels (baseline + non-x86 + odd bpp tail).
+// `cur` receives the reconstructed row; `in` is the filtered row (after the
+// filter-type byte); `prev` is the reconstructed row above (nullptr on row 0).
+
+void sub_scalar(uint8_t* cur, const uint8_t* in, const uint8_t*, size_t n,
+                int bpp) {
+  for (size_t x = 0; x < n; ++x)
+    cur[x] = uint8_t(in[x] + (x >= size_t(bpp) ? cur[x - bpp] : 0));
+}
+
+void up_scalar(uint8_t* cur, const uint8_t* in, const uint8_t* prev, size_t n,
+               int) {
+  for (size_t x = 0; x < n; ++x) cur[x] = uint8_t(in[x] + (prev ? prev[x] : 0));
+}
+
+void avg_scalar(uint8_t* cur, const uint8_t* in, const uint8_t* prev, size_t n,
+                int bpp) {
+  for (size_t x = 0; x < n; ++x) {
+    int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
+    int b = prev ? prev[x] : 0;
+    cur[x] = uint8_t(in[x] + ((a + b) >> 1));
+  }
+}
+
+void paeth_scalar(uint8_t* cur, const uint8_t* in, const uint8_t* prev,
+                  size_t n, int bpp) {
+  for (size_t x = 0; x < n; ++x) {
+    int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
+    int b = prev ? prev[x] : 0;
+    int c = (prev && x >= size_t(bpp)) ? prev[x - bpp] : 0;
+    cur[x] = uint8_t(in[x] + paeth(a, b, c));
+  }
+}
+
+#if PNGLOADER_X86
+
+// Sub: cur[x] = in[x] + cur[x-bpp] is a prefix sum at stride bpp; u8 adds
+// wrap mod 256 exactly like the scalar loop, so the in-register doubling
+// (shift by bpp, 2·bpp, 4·bpp …) reproduces it bit-exactly.  The carry into
+// the next 16-byte block is the accumulated LAST pixel, splatted channel-
+// aligned with pshufb (for bpp=3 the splat index is 13 + (j mod 3): block
+// boundaries split pixels, but the stride-3 byte distance keeps channels
+// aligned regardless).
+__attribute__((target("ssse3"))) void sub_ssse3(uint8_t* cur,
+                                                const uint8_t* in,
+                                                const uint8_t*, size_t n,
+                                                int bpp) {
+  __m128i carry = _mm_setzero_si128();
+  __m128i splat;
+  switch (bpp) {
+    case 3:
+      splat = _mm_setr_epi8(13, 14, 15, 13, 14, 15, 13, 14, 15, 13, 14, 15,
+                            13, 14, 15, 13);
+      break;
+    case 4:
+      splat = _mm_setr_epi8(12, 13, 14, 15, 12, 13, 14, 15, 12, 13, 14, 15,
+                            12, 13, 14, 15);
+      break;
+    case 2:
+      splat = _mm_setr_epi8(14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15,
+                            14, 15, 14, 15);
+      break;
+    default:  // bpp == 1
+      splat = _mm_set1_epi8(15);
+      break;
+  }
+  size_t x = 0;
+  for (; x + 16 <= n; x += 16) {
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(in + x));
+    switch (bpp) {
+      case 3:
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 3));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 6));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 12));
+        break;
+      case 4:
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 4));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 8));
+        break;
+      case 2:
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 2));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 4));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 8));
+        break;
+      default:  // bpp == 1
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 1));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 2));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 4));
+        v = _mm_add_epi8(v, _mm_slli_si128(v, 8));
+        break;
+    }
+    v = _mm_add_epi8(v, carry);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(cur + x), v);
+    carry = _mm_shuffle_epi8(v, splat);
+  }
+  for (; x < n; ++x)
+    cur[x] = uint8_t(in[x] + (x >= size_t(bpp) ? cur[x - bpp] : 0));
+}
+
+__attribute__((target("sse2"))) void up_sse2(uint8_t* cur, const uint8_t* in,
+                                             const uint8_t* prev, size_t n,
+                                             int) {
+  if (!prev) {
+    std::memcpy(cur, in, n);
+    return;
+  }
+  size_t x = 0;
+  for (; x + 16 <= n; x += 16) {
+    __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i*>(in + x));
+    __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i*>(prev + x));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(cur + x), _mm_add_epi8(a, b));
+  }
+  for (; x < n; ++x) cur[x] = uint8_t(in[x] + prev[x]);
+}
+
+// Load / store one pixel (<= 4 bytes) as the low lanes of an XMM register.
+__attribute__((target("sse2"))) inline __m128i load_px(const uint8_t* p,
+                                                       int bpp) {
+  uint32_t v = 0;
+  std::memcpy(&v, p, size_t(bpp));
+  return _mm_cvtsi32_si128(int(v));
+}
+
+__attribute__((target("sse2"))) inline void store_px(uint8_t* p, __m128i v,
+                                                     int bpp) {
+  uint32_t u = uint32_t(_mm_cvtsi128_si32(v));
+  std::memcpy(p, &u, size_t(bpp));
+}
+
+// Average / Paeth carry a true dependency on the reconstructed left pixel,
+// so they vectorize across channels: one pixel per iteration in u16 lanes.
+__attribute__((target("ssse3"))) void avg_ssse3(uint8_t* cur,
+                                                const uint8_t* in,
+                                                const uint8_t* prev, size_t n,
+                                                int bpp) {
+  const __m128i zero = _mm_setzero_si128();
+  __m128i a = zero;  // reconstructed left pixel, u16 lanes
+  size_t x = 0;
+  for (; x + bpp <= n; x += bpp) {
+    __m128i b = prev ? _mm_unpacklo_epi8(load_px(prev + x, bpp), zero) : zero;
+    __m128i r = _mm_unpacklo_epi8(load_px(in + x, bpp), zero);
+    // (a + b) >> 1 in u16 — exact, no pavgb rounding-up bias
+    r = _mm_add_epi16(r, _mm_srli_epi16(_mm_add_epi16(a, b), 1));
+    r = _mm_and_si128(r, _mm_set1_epi16(0xFF));  // wrap mod 256
+    a = r;
+    store_px(cur + x, _mm_packus_epi16(r, r), bpp);
+  }
+  for (; x < n; ++x) {  // ragged tail (never hit: bpp divides stride)
+    int av = x >= size_t(bpp) ? cur[x - bpp] : 0;
+    int bv = prev ? prev[x] : 0;
+    cur[x] = uint8_t(in[x] + ((av + bv) >> 1));
+  }
+}
+
+__attribute__((target("ssse3"))) void paeth_ssse3(uint8_t* cur,
+                                                  const uint8_t* in,
+                                                  const uint8_t* prev,
+                                                  size_t n, int bpp) {
+  const __m128i zero = _mm_setzero_si128();
+  __m128i a = zero;  // left, u16
+  __m128i c = zero;  // upper-left, u16
+  size_t x = 0;
+  for (; x + bpp <= n; x += bpp) {
+    __m128i b = prev ? _mm_unpacklo_epi8(load_px(prev + x, bpp), zero) : zero;
+    // distances in i16: pa = |b-c|, pb = |a-c|, pc = |a+b-2c|
+    __m128i pa = _mm_abs_epi16(_mm_sub_epi16(b, c));
+    __m128i pb = _mm_abs_epi16(_mm_sub_epi16(a, c));
+    __m128i pc = _mm_abs_epi16(
+        _mm_sub_epi16(_mm_add_epi16(a, b), _mm_add_epi16(c, c)));
+    // predictor: a if pa<=pb && pa<=pc else b if pb<=pc else c
+    __m128i use_a = _mm_and_si128(
+        _mm_cmpeq_epi16(pa, _mm_min_epi16(pa, pb)),
+        _mm_cmpeq_epi16(pa, _mm_min_epi16(pa, pc)));
+    __m128i use_b = _mm_cmpeq_epi16(pb, _mm_min_epi16(pb, pc));
+    __m128i pred = _mm_or_si128(
+        _mm_and_si128(use_a, a),
+        _mm_andnot_si128(
+            use_a, _mm_or_si128(_mm_and_si128(use_b, b),
+                                _mm_andnot_si128(use_b, c))));
+    __m128i r = _mm_add_epi16(_mm_unpacklo_epi8(load_px(in + x, bpp), zero),
+                              pred);
+    r = _mm_and_si128(r, _mm_set1_epi16(0xFF));
+    store_px(cur + x, _mm_packus_epi16(r, r), bpp);
+    a = r;
+    c = b;
+  }
+  for (; x < n; ++x) {  // ragged tail (never hit: bpp divides stride)
+    int av = x >= size_t(bpp) ? cur[x - bpp] : 0;
+    int bv = prev ? prev[x] : 0;
+    int cv = (prev && x >= size_t(bpp)) ? prev[x - bpp] : 0;
+    cur[x] = uint8_t(in[x] + paeth(av, bv, cv));
+  }
+}
+
+#endif  // PNGLOADER_X86
+
+using UnfilterFn = void (*)(uint8_t*, const uint8_t*, const uint8_t*, size_t,
+                            int);
+
+struct UnfilterTable {
+  UnfilterFn sub = sub_scalar;
+  UnfilterFn up = up_scalar;
+  UnfilterFn avg = avg_scalar;
+  UnfilterFn paeth = paeth_scalar;
+};
+
+const UnfilterTable& unfilters() {
+  static const UnfilterTable t = [] {
+    UnfilterTable t;
+#if PNGLOADER_X86
+    __builtin_cpu_init();
+    if (__builtin_cpu_supports("sse2")) t.up = up_sse2;
+    if (__builtin_cpu_supports("ssse3")) {
+      t.sub = sub_ssse3;
+      t.avg = avg_ssse3;
+      t.paeth = paeth_ssse3;
+    }
+#endif
+    return t;
+  }();
+  return t;
+}
+
+// Reconstruct one scanline. `src` points at the filter-type byte.
+bool unfilter_row(const uint8_t* src, uint8_t* out, uint32_t y, size_t stride,
+                  int bpp) {
+  const UnfilterTable& t = unfilters();
+  const uint8_t* in = src + 1;
+  uint8_t* cur = &out[y * stride];
+  const uint8_t* prev = y ? &out[(y - 1) * stride] : nullptr;
+  switch (src[0]) {
+    case 0:
+      std::memcpy(cur, in, stride);
+      return true;
+    case 1:
+      t.sub(cur, in, nullptr, stride, bpp);
+      return true;
+    case 2:
+      t.up(cur, in, prev, stride, bpp);
+      return true;
+    case 3:
+      t.avg(cur, in, prev, stride, bpp);
+      return true;
+    case 4:
+      t.paeth(cur, in, prev, stride, bpp);
+      return true;
+    default:
+      return false;
+  }
 }
 
 struct PngImage {
@@ -106,6 +379,8 @@ int decode_png(const char* path, PngImage* img) {
     pos += 12 + len;
   }
   if (width == 0 || height == 0 || idat.empty()) return kCorrupt;
+  if (size_t(width) * height > (size_t(1) << 30))  // 1 Gpx per-image cap
+    return kUnsupported;
 
   int src_channels;
   switch (color_type) {
@@ -116,60 +391,53 @@ int decode_png(const char* path, PngImage* img) {
     default: src_channels = 4; break; // RGBA
   }
   const size_t stride = size_t(width) * src_channels;
-  const size_t raw_size = (stride + 1) * height;
-  std::vector<uint8_t> raw(raw_size);
+  const size_t row_bytes = stride + 1;  // filter byte + filtered row
+  const int bpp = src_channels;         // bytes per pixel (8-bit depth)
+  std::vector<uint8_t> out(size_t(width) * height * src_channels);
 
+  // Streaming inflate: fill a small chunk buffer and unfilter each complete
+  // scanline while it is cache-hot (no whole-image filtered temporary).
   z_stream zs{};
   if (inflateInit(&zs) != Z_OK) return kInflateError;
   zs.next_in = idat.data();
   zs.avail_in = uInt(idat.size());
-  zs.next_out = raw.data();
-  zs.avail_out = uInt(raw.size());
-  int zret = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  if (zret != Z_STREAM_END && !(zret == Z_OK && zs.avail_out == 0))
-    return kInflateError;
-
-  // unfilter scanlines in place into `out`
-  std::vector<uint8_t> out(size_t(width) * height * src_channels);
-  const int bpp = src_channels;  // bytes per pixel (8-bit depth)
-  for (uint32_t y = 0; y < height; ++y) {
-    const uint8_t* src = &raw[y * (stride + 1)];
-    uint8_t filter = src[0];
-    const uint8_t* cur_in = src + 1;
-    uint8_t* cur = &out[y * stride];
-    const uint8_t* prev = y ? &out[(y - 1) * stride] : nullptr;
-    switch (filter) {
-      case 0:
-        std::memcpy(cur, cur_in, stride);
-        break;
-      case 1:  // Sub
-        for (size_t x = 0; x < stride; ++x)
-          cur[x] = uint8_t(cur_in[x] + (x >= size_t(bpp) ? cur[x - bpp] : 0));
-        break;
-      case 2:  // Up
-        for (size_t x = 0; x < stride; ++x)
-          cur[x] = uint8_t(cur_in[x] + (prev ? prev[x] : 0));
-        break;
-      case 3:  // Average
-        for (size_t x = 0; x < stride; ++x) {
-          int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
-          int b = prev ? prev[x] : 0;
-          cur[x] = uint8_t(cur_in[x] + ((a + b) >> 1));
-        }
-        break;
-      case 4:  // Paeth
-        for (size_t x = 0; x < stride; ++x) {
-          int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
-          int b = prev ? prev[x] : 0;
-          int c = (prev && x >= size_t(bpp)) ? prev[x - bpp] : 0;
-          cur[x] = uint8_t(cur_in[x] + paeth(a, b, c));
-        }
-        break;
-      default:
-        return kCorrupt;
+  const size_t chunk = std::max<size_t>(row_bytes * 4, size_t(1) << 16);
+  std::vector<uint8_t> buf(chunk + row_bytes);
+  size_t have = 0;
+  uint32_t y = 0;
+  int zret = Z_OK;
+  while (y < height) {
+    if (have < row_bytes) {
+      if (zret == Z_STREAM_END) break;  // truncated stream
+      zs.next_out = buf.data() + have;
+      zs.avail_out = uInt(buf.size() - have);
+      zret = inflate(&zs, Z_NO_FLUSH);
+      if (zret != Z_OK && zret != Z_STREAM_END) {
+        inflateEnd(&zs);
+        return kInflateError;
+      }
+      size_t produced = (buf.size() - have) - zs.avail_out;
+      if (produced == 0 && zret != Z_STREAM_END) {
+        inflateEnd(&zs);  // no progress and not at end: corrupt/truncated
+        return kInflateError;
+      }
+      have += produced;
+      continue;
     }
+    size_t off = 0;
+    while (have - off >= row_bytes && y < height) {
+      if (!unfilter_row(buf.data() + off, out.data(), y, stride, bpp)) {
+        inflateEnd(&zs);
+        return kCorrupt;
+      }
+      off += row_bytes;
+      ++y;
+    }
+    std::memmove(buf.data(), buf.data() + off, have - off);
+    have -= off;
   }
+  inflateEnd(&zs);
+  if (y < height) return kInflateError;  // stream ended early
 
   img->width = width;
   img->height = height;
@@ -281,7 +549,12 @@ int decode_png_batch(const char** paths, int n, uint8_t* out,
       int i = next.fetch_add(1);
       if (i >= n) return;
       PngImage img;
-      int rc = decode_png(paths[i], &img);
+      int rc;
+      try {
+        rc = decode_png(paths[i], &img);
+      } catch (...) {  // bad_alloc etc. must not cross the ctypes boundary
+        rc = kCorrupt;
+      }
       if (rc == kOk &&
           (int(img.height) != height || int(img.width) != width)) {
         rc = kSizeMismatch;
