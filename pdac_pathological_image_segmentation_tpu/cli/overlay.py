@@ -78,6 +78,10 @@ def main(argv=None) -> dict:
     parser.add_argument("--stride", type=int, default=None,
                         help="window stride for --slide mode (default: "
                         "img_size, i.e. no overlap)")
+    parser.add_argument("--level", type=int, default=0,
+                        help="pyramid level for --slide mode (0 = full "
+                        "resolution; higher levels run multi-resolution "
+                        "inference on the slide's own downsampled pyramid)")
     parser.add_argument("--export_tiff", action="store_true",
                         help="also export the probability map as a "
                         "pyramidal tiled TIFF QuPath can overlay")
@@ -104,8 +108,13 @@ def main(argv=None) -> dict:
             TiffSlideSource,
         )
 
+        slide = TiffSlide(args.slide)
+        if not 0 <= args.level < slide.level_count:
+            raise SystemExit(
+                f"--level {args.level} out of range: slide has "
+                f"{slide.level_count} pyramid level(s)")
         source = TiffSlideSource(
-            TiffSlide(args.slide), tile=cfg.img_size, stride=args.stride,
+            slide, level=args.level, tile=cfg.img_size, stride=args.stride,
             tissue_threshold=cfg.tissue_threshold,
         )
     else:
