@@ -167,8 +167,8 @@ def bench_train() -> None:
 def bench_int8(model_name: str = "unet") -> None:
     """Opt-in int8 quantized serving throughput (infer/quantized.py):
     post-training per-channel weight + calibrated per-tensor activation
-    quantization, int32 MXU accumulation, for ``unet`` or ``fpn`` (the
-    reference's default config model).  Reported NEXT TO the bf16
+    quantization, int32 MXU accumulation, for any of the four reference
+    architectures (``unet`` / ``fpn`` / ``deeplabv3+`` / ``pspnet``).  Reported NEXT TO the bf16
     headline (vs_baseline refers to the same 5,000 north star; mask
     agreement/Dice delta pinned by tests/test_quantized.py)."""
     import numpy as np
@@ -197,8 +197,10 @@ def bench_int8(model_name: str = "unet") -> None:
     x = jax.device_put(
         rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
+    kw = ({"atrous_rates": tuple(cfg.dilations)}
+          if model_name == "deeplabv3+" else {})
     bundle, forward = quantize_model(
-        model_name, state.params, state.batch_stats, [calib], 512)
+        model_name, state.params, state.batch_stats, [calib], 512, **kw)
     from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
         compile_serving,
     )
@@ -290,7 +292,7 @@ if __name__ == "__main__":
                         choices=("infer", "train", "wsi", "int8"))
     parser.add_argument("--size", type=int, default=8192,
                         help="WSI side length for --mode wsi")
-    parser.add_argument("--model", default="unet", choices=("unet", "fpn"),
+    parser.add_argument("--model", default="unet", choices=("unet", "fpn", "deeplabv3+", "pspnet"),
                         help="model for --mode int8")
     args = parser.parse_args()
     if args.mode == "infer":

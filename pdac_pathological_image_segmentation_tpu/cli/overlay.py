@@ -86,8 +86,8 @@ def main(argv=None) -> dict:
                         help="also export the probability map as a "
                         "pyramidal tiled TIFF QuPath can overlay")
     parser.add_argument("--int8", action="store_true",
-                        help="int8 quantized serving path (models: unet, "
-                        "fpn; calibrates activation scales on the first "
+                        help="int8 quantized serving path (all four "
+                        "architectures; calibrates activation scales on the first "
                         "tiles — ~1.15x throughput on v5e, mask agreement "
                         "pinned by tests/test_quantized.py; composes with "
                         "--sharded)")
@@ -136,8 +136,10 @@ def main(argv=None) -> dict:
         calib = np.stack([source.get(i)[0] for i in range(n_cal)])
         params = evaluator.state.params
         bstats = evaluator.state.batch_stats
+        kw = ({"atrous_rates": tuple(cfg.dilations)}
+              if cfg.model == "deeplabv3+" else {})
         bundle, forward = q.quantize_model(
-            cfg.model, params, bstats, [calib], cfg.img_size)
+            cfg.model, params, bstats, [calib], cfg.img_size, **kw)
         infer_step = q.make_quantized_infer_fn(
             params, bstats, bundle, cfg.img_size, forward=forward)
 

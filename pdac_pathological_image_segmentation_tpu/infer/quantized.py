@@ -1,5 +1,6 @@
-"""Post-training int8 quantized inference for the flagship ResUNet
-(ROADMAP #6: quantized serving).
+"""Post-training int8 quantized inference for all four reference
+architectures (unet / fpn / deeplabv3+ / pspnet; ROADMAP quantized
+serving).
 
 The v5e MXU runs int8 contractions at ~2× the bf16 rate (measured on this
 harness: 1.3–1.7× end-to-end per conv shape, XLA int8 conv with int32
@@ -14,9 +15,11 @@ inference step post-training:
 * **accumulation**: int32 on the MXU, dequantized in the conv epilogue
   (XLA fuses ``int32→f32·(s_x·s_w)`` into the conv output), BatchNorm's
   inference affine and biases applied in float exactly as the bf16 path;
-* quantized sites: stem 7×7 + every encoder 3×3/1×1 conv + the decoder
-  ``ConcatConv`` pairs.  Upsamples, the 1×1 head, and the 4× bilinear
-  resize stay bf16 (minor share of runtime, keeps mask numerics tight).
+* quantized sites: stem 7×7 + every encoder 3×3/1×1 conv + each
+  decoder's dominant matmuls (ResUNet ``ConcatConv`` pairs, FPN laterals +
+  seg blocks, DeepLabV3+ ASPP pointwises + fuse, PSPNet bottleneck).
+  Upsamples, depthwise convs, heads, and the bilinear resizes stay float
+  (minor share of runtime, keeps mask numerics tight).
 
 This is an **opt-in serving mode**: the honest flagship bench stays bf16;
 ``bench.py --mode int8`` reports the quantized number next to it, and
@@ -47,18 +50,21 @@ from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv(x, k, stride=1, pad=1):
+def _conv(x, k, stride=1, pad=1, dilation=1, groups=1):
     padding = ((pad, pad), (pad, pad)) if pad else "VALID"
     return jax.lax.conv_general_dilated(
-        x, k, (stride, stride), padding, dimension_numbers=_DN)
+        x, k, (stride, stride), padding,
+        rhs_dilation=(dilation, dilation), feature_group_count=groups,
+        dimension_numbers=_DN)
 
 
-def _conv_i8(x, xscale, kq, kscale, stride=1, pad=1):
+def _conv_i8(x, xscale, kq, kscale, stride=1, pad=1, dilation=1):
     """int8 conv with int32 accumulation, dequantized epilogue."""
     xq = jnp.clip(jnp.round(x / xscale), -127, 127).astype(jnp.int8)
     padding = ((pad, pad), (pad, pad)) if pad else "VALID"
     yi = jax.lax.conv_general_dilated(
-        xq, kq, (stride, stride), padding, dimension_numbers=_DN,
+        xq, kq, (stride, stride), padding,
+        rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
         preferred_element_type=jnp.int32)
     return yi.astype(jnp.float32) * (xscale * kscale)
 
@@ -94,25 +100,27 @@ class _Ctx:
         self.qweights = qweights or {}
         self.stats: Dict[str, jax.Array] = {}
 
-    def conv(self, name, x, kernel, stride=1, pad=1):
+    def conv(self, name, x, kernel, stride=1, pad=1, dilation=1):
         if self.mode == "float":
             self.stats[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
-            return _conv(x, kernel.astype(x.dtype), stride, pad)
+            return _conv(x, kernel.astype(x.dtype), stride, pad, dilation)
         kq, ks = self.qweights[name]
         return _conv_i8(x.astype(jnp.float32), self.act_scales[name],
-                        kq, ks, stride, pad)
+                        kq, ks, stride, pad, dilation)
 
     def act(self, y):
         """Cast a post-affine activation to the inter-site storage dtype."""
         return y.astype(self.act_dtype)
 
 
-def _basic_block(ctx, p, s, x, name, stride=1):
+def _basic_block(ctx, p, s, x, name, stride=1, dilation=1):
     a1, b1 = _bn_affine(p["bn1"], s["bn1"])
     a2, b2 = _bn_affine(p["bn2"], s["bn2"])
-    y = ctx.conv(f"{name}.conv1", x, p["conv1"]["kernel"], stride, 1)
+    y = ctx.conv(f"{name}.conv1", x, p["conv1"]["kernel"], stride, dilation,
+                 dilation)
     y = ctx.act(jnp.maximum(y * a1 + b1, 0.0))
-    y = ctx.conv(f"{name}.conv2", y, p["conv2"]["kernel"], 1, 1)
+    y = ctx.conv(f"{name}.conv2", y, p["conv2"]["kernel"], 1, dilation,
+                 dilation)
     y = y * a2 + b2
     if "downsample_conv" in p:
         ad, bd = _bn_affine(p["downsample_bn"], s["downsample_bn"])
@@ -148,9 +156,14 @@ def _normalize(image_u8):
     return (image_u8.astype(jnp.float32) - mean) / std
 
 
-def _encoder_forward(ctx: _Ctx, e, es, x):
-    """Shared resnet18 encoder mirror (stem + maxpool + 4 stages) →
-    ``[x2, x3, x4, x5]`` stage outputs."""
+def _encoder_forward(ctx: _Ctx, e, es, x, output_stride: int = 32,
+                     depth: int = 5):
+    """Shared resnet18 encoder mirror (stem + maxpool + residual stages) →
+    stage outputs ``[x2, …]``.  ``output_stride`` turns strides past it
+    into dilations with smp's uniform-rate semantics (every conv in a
+    dilated stage, block 0 included — ``models/resnet.py`` setup);
+    ``depth`` is the smp encoder depth (5 → all four stages, 3 → through
+    layer2, PSPNet)."""
     a0, b0 = _bn_affine(e["bn1"], es["bn1"])
     y = ctx.conv("stem", x, e["conv1"]["kernel"], 2, 3)
     y = ctx.act(jnp.maximum(y * a0 + b0, 0.0))
@@ -159,11 +172,19 @@ def _encoder_forward(ctx: _Ctx, e, es, x):
         ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     feats = []
-    for li, blocks in enumerate(((0, 1), (0, 1), (0, 1), (0, 1))):
-        for bi in blocks:
+    current_stride, dilation = 4, 1
+    for li in range(depth - 1):
+        s = 1 if li == 0 else 2
+        if s == 2:
+            if current_stride >= output_stride:
+                dilation *= 2
+                s = 1
+            else:
+                current_stride *= 2
+        for bi in (0, 1):
             name = f"layer{li + 1}_{bi}"
-            stride = 2 if (li > 0 and bi == 0) else 1
-            y = _basic_block(ctx, e[name], es[name], y, name, stride)
+            y = _basic_block(ctx, e[name], es[name], y, name,
+                             stride=s if bi == 0 else 1, dilation=dilation)
         feats.append(y)
     return feats
 
@@ -250,7 +271,125 @@ def fpn_forward(ctx: _Ctx, params, batch_stats, image_u8, output_size: int):
     return jax.nn.sigmoid(logits[..., 0])
 
 
-FORWARDS = {"unet": resunet_forward, "fpn": fpn_forward}
+def _conv_bn_relu(ctx, p, s, name, x):
+    """Quantized mirror of ``deeplabv3plus._ConvBNReLU`` (1×1, no bias)."""
+    y = ctx.conv(name, x, p["conv"]["kernel"], 1, 0)
+    a, b = _bn_affine(p["bn"], s["bn"])
+    return ctx.act(jnp.maximum(y * a + b, 0.0))
+
+
+def _sep_conv_bn_relu(ctx, p, s, name, x, dilation=1):
+    """Quantized mirror of ``deeplabv3plus._SeparableConvBNReLU``: the
+    depthwise 3×3 stays float (negligible FLOP share — C MACs/pixel vs the
+    pointwise's C²), the pointwise 1×1 quantizes."""
+    dw = _conv(x.astype(jnp.float32),
+               p["depthwise"]["kernel"].astype(jnp.float32),
+               1, dilation, dilation, groups=x.shape[-1])
+    y = ctx.conv(f"{name}.pointwise", dw, p["pointwise"]["kernel"], 1, 0)
+    a, b = _bn_affine(p["bn"], s["bn"])
+    return ctx.act(jnp.maximum(y * a + b, 0.0))
+
+
+def deeplab_forward(ctx: _Ctx, params, batch_stats, image_u8,
+                    output_size: int, atrous_rates=(3, 6, 9)):
+    """uint8 NHWC → sigmoid probability masks; mirrors
+    ``DeepLabV3Plus.__call__(train=False)`` (``models/deeplabv3plus.py`` —
+    smp topology with the reference's config dilations,
+    ``configs/train_config.yaml:24``).  Quantized sites: the os-16 dilated
+    encoder + every ASPP 1×1/pointwise + projections + the fuse pointwise;
+    depthwise convs, the image-pool branch (1×1 spatial), the 1×1 head and
+    the corner-aligned resizes stay float."""
+    x = _normalize(image_u8)
+    feats = _encoder_forward(ctx, params["encoder"],
+                             batch_stats["encoder"], x, output_stride=16)
+    c2, c5 = feats[0], feats[3]
+    ap, asts = params["aspp"], batch_stats["aspp"]
+
+    branches = [_conv_bn_relu(ctx, ap["branch_1x1"], asts["branch_1x1"],
+                              "aspp.1x1", c5)]
+    for i, rate in enumerate(atrous_rates):
+        branches.append(
+            _sep_conv_bn_relu(ctx, ap[f"branch_r{i}"], asts[f"branch_r{i}"],
+                              f"aspp.r{i}", c5, dilation=rate))
+    n, h, w, _ = c5.shape
+    pooled = jnp.mean(c5.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    pp, ps = ap["branch_pool"], asts["branch_pool"]
+    a, b = _bn_affine(pp["bn"], ps["bn"])
+    pooled = jnp.maximum(
+        _conv(pooled, pp["conv"]["kernel"].astype(jnp.float32), 1, 0) * a + b,
+        0.0)
+    branches.append(ctx.act(jnp.broadcast_to(pooled,
+                                             (n, h, w, pooled.shape[-1]))))
+
+    y = jnp.concatenate(branches, axis=-1)
+    y = _conv_bn_relu(ctx, ap["project"], asts["project"], "aspp.project", y)
+    # dropout(0.5) is identity at inference
+    y = _sep_conv_bn_relu(ctx, params["aspp_sep"], batch_stats["aspp_sep"],
+                          "aspp_sep", y)
+    y = resize_bilinear(y.astype(jnp.float32), c2.shape[1], c2.shape[2],
+                        align_corners=True)
+    skip = _conv_bn_relu(ctx, params["skip_project"],
+                         batch_stats["skip_project"], "skip", c2)
+    y = jnp.concatenate([ctx.act(y), skip], axis=-1)
+    y = _sep_conv_bn_relu(ctx, params["fuse"], batch_stats["fuse"],
+                          "fuse", y)
+
+    k = params["head"]["kernel"][0, 0].astype(jnp.float32)  # (256, classes)
+    logits = jnp.einsum("nhwc,co->nhwo", y.astype(jnp.float32), k)
+    logits = logits + params["head"]["bias"].astype(jnp.float32)
+    logits = resize_bilinear(logits, output_size, output_size,
+                             align_corners=True)
+    return jax.nn.sigmoid(logits[..., 0])
+
+
+def pspnet_forward(ctx: _Ctx, params, batch_stats, image_u8,
+                   output_size: int, pool_sizes=(1, 2, 3, 6)):
+    """uint8 NHWC → sigmoid probability masks; mirrors
+    ``PSPNet.__call__(train=False)`` (``models/pspnet.py`` — smp depth-3
+    topology).  Quantized sites: the depth-3 encoder + the 512-channel
+    bottleneck 1×1 (the decoder's dominant matmul).  The PSP pyramid
+    branches pool to ≤6×6 before their convs — negligible compute, kept
+    float; the 3×3 head and the 8× corner-aligned resize stay float."""
+    from pdac_pathological_image_segmentation_tpu.models.pspnet import (
+        adaptive_avg_pool,
+    )
+
+    x = _normalize(image_u8)
+    feats = _encoder_forward(ctx, params["encoder"],
+                             batch_stats["encoder"], x, depth=3)
+    c3 = feats[-1]
+    h, w = c3.shape[1], c3.shape[2]
+
+    branches = []
+    for size in pool_sizes:
+        p = params[f"psp_{size}"]
+        y = adaptive_avg_pool(c3.astype(jnp.float32), size)
+        y = _conv(y, p["conv"]["kernel"].astype(jnp.float32), 1, 0)
+        if size > 1:
+            a, b = _bn_affine(p["bn"], batch_stats[f"psp_{size}"]["bn"])
+            y = y * a + b
+        else:  # smp skips BN on the 1×1 bin; its conv carries the bias
+            y = y + p["conv"]["bias"].astype(jnp.float32)
+        y = jnp.maximum(y, 0.0)
+        branches.append(ctx.act(resize_bilinear(y, h, w,
+                                                align_corners=True)))
+    y = jnp.concatenate(branches + [c3], axis=-1)
+
+    y = ctx.conv("bottleneck", y, params["bottleneck_conv"]["kernel"], 1, 0)
+    a, b = _bn_affine(params["bottleneck_bn"], batch_stats["bottleneck_bn"])
+    y = ctx.act(jnp.maximum(y * a + b, 0.0))
+    # channel dropout(0.2) is identity at inference
+
+    k = params["head"]["kernel"].astype(jnp.float32)  # (3, 3, 512, classes)
+    logits = _conv(y.astype(jnp.float32), k, 1, 1)
+    logits = logits + params["head"]["bias"].astype(jnp.float32)
+    logits = resize_bilinear(logits, output_size, output_size,
+                             align_corners=True)
+    return jax.nn.sigmoid(logits[..., 0])
+
+
+FORWARDS = {"unet": resunet_forward, "fpn": fpn_forward,
+            "deeplabv3+": deeplab_forward, "pspnet": pspnet_forward}
 
 
 def calibrate(params, batch_stats, batches, output_size: int,
@@ -272,9 +411,9 @@ def calibrate(params, batch_stats, batches, output_size: int,
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in scales.items()}
 
 
-def _quantize_encoder(e) -> Dict[str, tuple]:
+def _quantize_encoder(e, layers: int = 4) -> Dict[str, tuple]:
     qw = {"stem": quantize_weights(e["conv1"]["kernel"])}
-    for li in range(1, 5):
+    for li in range(1, layers + 1):
         for bi in range(2):
             name = f"layer{li}_{bi}"
             p = e[name]
@@ -312,7 +451,38 @@ def quantize_fpn(params, batch_stats, act_scales):
     return {"qweights": qw, "act_scales": dict(act_scales)}
 
 
-QUANTIZERS = {"unet": quantize_resunet, "fpn": quantize_fpn}
+def quantize_deeplab(params, batch_stats, act_scales):
+    """Quantize the DeepLabV3+ conv sites (dilated encoder + ASPP 1×1s and
+    pointwises + skip/fuse); returns the bundle consumed by
+    :func:`make_quantized_infer_step`."""
+    qw = _quantize_encoder(params["encoder"])
+    ap = params["aspp"]
+    qw["aspp.1x1"] = quantize_weights(ap["branch_1x1"]["conv"]["kernel"])
+    for name in ap:
+        if name.startswith("branch_r"):
+            i = int(name[len("branch_r"):])
+            qw[f"aspp.r{i}.pointwise"] = quantize_weights(
+                ap[name]["pointwise"]["kernel"])
+    qw["aspp.project"] = quantize_weights(ap["project"]["conv"]["kernel"])
+    qw["aspp_sep.pointwise"] = quantize_weights(
+        params["aspp_sep"]["pointwise"]["kernel"])
+    qw["skip"] = quantize_weights(params["skip_project"]["conv"]["kernel"])
+    qw["fuse.pointwise"] = quantize_weights(
+        params["fuse"]["pointwise"]["kernel"])
+    return {"qweights": qw, "act_scales": dict(act_scales)}
+
+
+def quantize_pspnet(params, batch_stats, act_scales):
+    """Quantize the PSPNet conv sites (depth-3 encoder + the bottleneck
+    1×1); returns the bundle consumed by
+    :func:`make_quantized_infer_step`."""
+    qw = _quantize_encoder(params["encoder"], layers=2)
+    qw["bottleneck"] = quantize_weights(params["bottleneck_conv"]["kernel"])
+    return {"qweights": qw, "act_scales": dict(act_scales)}
+
+
+QUANTIZERS = {"unet": quantize_resunet, "fpn": quantize_fpn,
+              "deeplabv3+": quantize_deeplab, "pspnet": quantize_pspnet}
 
 
 def make_quantized_infer_step(params, batch_stats, bundle,
@@ -341,16 +511,22 @@ def make_float_infer_step(params, batch_stats, output_size: int,
 
 
 def quantize_model(model_name: str, params, batch_stats, calib_batches,
-                   output_size: int):
+                   output_size: int, **model_kw):
     """One-call post-training quantization for a supported model:
     calibrates activation scales on ``calib_batches`` (uint8 NHWC) and
     returns ``(bundle, forward)`` for :func:`make_quantized_infer_step` /
-    :func:`make_quantized_infer_fn`."""
+    :func:`make_quantized_infer_fn`.  ``model_kw`` forwards topology
+    arguments the forward needs (e.g. ``atrous_rates=cfg.dilations`` for
+    deeplabv3+)."""
     if model_name not in FORWARDS:
         raise ValueError(
             f"no int8 path for model {model_name!r} "
             f"(supported: {sorted(FORWARDS)})")
     forward = FORWARDS[model_name]
+    if model_kw:
+        import functools
+
+        forward = functools.partial(forward, **model_kw)
     scales = calibrate(params, batch_stats, calib_batches, output_size,
                        forward=forward)
     bundle = QUANTIZERS[model_name](params, batch_stats, scales)

@@ -75,7 +75,7 @@ def test_fpn_quantized_masks_agree(setup):
 
 def test_quantize_model_rejects_unsupported():
     with pytest.raises(ValueError, match="no int8 path"):
-        quantize_model("pspnet", {}, {}, [], SIZE)
+        quantize_model("unet++", {}, {}, [], SIZE)
 
 
 TILE = 32
