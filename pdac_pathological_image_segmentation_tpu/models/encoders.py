@@ -15,6 +15,10 @@ from typing import Any, List
 
 import flax.linen as nn
 
+from pdac_pathological_image_segmentation_tpu.models import efficientnet
+from pdac_pathological_image_segmentation_tpu.models.efficientnet import (
+    EfficientNetEncoder,
+)
 from pdac_pathological_image_segmentation_tpu.models.mobilenetv2 import (
     MobileNetV2Encoder,
 )
@@ -23,7 +27,8 @@ from pdac_pathological_image_segmentation_tpu.models.resnet import (
     ResNetEncoder,
 )
 
-VALID_BACKBONES = tuple(RESNET_CFGS) + ("mobilenet_v2",)
+VALID_BACKBONES = (tuple(RESNET_CFGS) + ("mobilenet_v2",)
+                   + tuple(efficientnet.VARIANTS))
 
 
 def build_encoder(backbone: str, *, output_stride: int = 32,
@@ -32,6 +37,10 @@ def build_encoder(backbone: str, *, output_stride: int = 32,
     if backbone == "mobilenet_v2":
         return MobileNetV2Encoder(output_stride=output_stride, dtype=dtype,
                                   name=name)
+    if backbone in efficientnet.VARIANTS:
+        return EfficientNetEncoder(variant=backbone,
+                                   output_stride=output_stride, dtype=dtype,
+                                   name=name)
     if backbone in RESNET_CFGS:
         return ResNetEncoder(backbone=backbone, output_stride=output_stride,
                              dtype=dtype, name=name)
@@ -43,6 +52,8 @@ def encoder_feature_channels(backbone: str) -> List[int]:
     """Channels of ``[c1..c5]`` for a backbone string."""
     if backbone == "mobilenet_v2":
         return MobileNetV2Encoder.feature_channels()
+    if backbone in efficientnet.VARIANTS:
+        return efficientnet.feature_channels(backbone)
     if backbone in RESNET_CFGS:
         return ResNetEncoder.feature_channels(backbone)
     raise ValueError(

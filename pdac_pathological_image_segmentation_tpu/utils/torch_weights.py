@@ -232,6 +232,104 @@ def convert_mobilenetv2_state_dict(
     return params, batch_stats
 
 
+def convert_efficientnet_state_dict(
+    sd: Dict[str, np.ndarray],
+    params: Any,
+    batch_stats: Any,
+    encoder_key: str = "encoder",
+    strict: bool = True,
+) -> Tuple[Any, Any]:
+    """Graft efficientnet-pytorch weights (the encoder layout of smp's
+    ``efficientnet-b*`` zoo entries, reference ``train_worker.py:155``)
+    into flax variables produced by ``EfficientNetEncoder``.
+
+    efficientnet-pytorch layout → ours (``models/efficientnet.py``):
+
+    * ``_conv_stem`` / ``_bn0``                → ``stem_conv`` / ``stem_bn``
+    * ``_blocks.N._expand_conv`` / ``._bn0``   → ``blocks_N/expand_conv+bn``
+      (absent on expand-ratio-1 blocks)
+    * ``_blocks.N._depthwise_conv`` / ``._bn1`` → ``blocks_N/depthwise_*``
+      (kernels (C,1,k,k) transpose to flax's (k,k,1,C) grouped form)
+    * ``_blocks.N._se_reduce/_se_expand``      → 1×1 convs with bias
+    * ``_blocks.N._project_conv`` / ``._bn2``  → ``blocks_N/project_*``
+    * the classifier top (``_conv_head``/``_bn1``/``_fc``) is dropped —
+      smp's ``EfficientNetEncoder`` never runs it either.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    p_enc = params[encoder_key] if encoder_key else params
+    b_enc = batch_stats[encoder_key] if encoder_key else batch_stats
+    written: set = set()
+
+    def put_conv(node: dict, tname: str, bias: bool = False) -> None:
+        w = sd[tname + ".weight"]  # O,I,H,W (I=1 for depthwise)
+        k = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        if tuple(node["kernel"].shape) != k.shape:
+            raise ValueError(
+                f"{tname}: kernel shape mismatch "
+                f"{node['kernel'].shape} vs torch {w.shape}")
+        node["kernel"] = k
+        if bias:
+            node["bias"] = sd[tname + ".bias"].astype(np.float32)
+        written.add(id(node))
+
+    def put_bn(p_node: dict, b_node: dict, tname: str) -> None:
+        p_node["bn"]["scale"] = sd[tname + ".weight"].astype(np.float32)
+        p_node["bn"]["bias"] = sd[tname + ".bias"].astype(np.float32)
+        b_node["bn"]["mean"] = sd[tname + ".running_mean"].astype(np.float32)
+        b_node["bn"]["var"] = sd[tname + ".running_var"].astype(np.float32)
+        written.add(id(p_node["bn"]))
+        written.add(id(b_node["bn"]))
+
+    put_conv(p_enc["stem_conv"], "_conv_stem")
+    put_bn(p_enc["stem_bn"], b_enc["stem_bn"], "_bn0")
+    n_blocks = 0
+    while f"blocks_{n_blocks}" in p_enc:
+        n_blocks += 1
+    for i in range(n_blocks):
+        pf, bf = p_enc[f"blocks_{i}"], b_enc[f"blocks_{i}"]
+        t = f"_blocks.{i}"
+        if f"{t}._expand_conv.weight" in sd:
+            put_conv(pf["expand_conv"], f"{t}._expand_conv")
+            put_bn(pf["expand_bn"], bf["expand_bn"], f"{t}._bn0")
+        elif "expand_conv" in pf:
+            raise KeyError(
+                f"{t}: flax block expects an expand conv but the torch "
+                "state_dict has none — variant mismatch")
+        put_conv(pf["depthwise_conv"], f"{t}._depthwise_conv")
+        put_bn(pf["depthwise_bn"], bf["depthwise_bn"], f"{t}._bn1")
+        put_conv(pf["se_reduce"], f"{t}._se_reduce", bias=True)
+        put_conv(pf["se_expand"], f"{t}._se_expand", bias=True)
+        put_conv(pf["project_conv"], f"{t}._project_conv")
+        put_bn(pf["project_bn"], bf["project_bn"], f"{t}._bn2")
+    if f"_blocks.{n_blocks}._depthwise_conv.weight" in sd:
+        raise KeyError(
+            f"torch state_dict has more blocks than the flax encoder "
+            f"({n_blocks}) — variant mismatch")
+
+    if strict:
+        def check(node, path):
+            if isinstance(node, dict):
+                if any(not isinstance(v, dict) for v in node.values()):
+                    if id(node) not in written:
+                        raise KeyError(
+                            "flax encoder subtree not covered by the torch "
+                            f"state_dict: {'/'.join(path)} — partial graft")
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        check(v, path + (k,))
+
+        check(p_enc, ("params",))
+        check(b_enc, ("batch_stats",))
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return params, batch_stats
+
+
 def convert_encoder_state_dict(
     enc_sd: Dict[str, np.ndarray],
     params: Any,
@@ -239,10 +337,14 @@ def convert_encoder_state_dict(
     encoder_key: str = "encoder",
 ) -> Tuple[Any, Any]:
     """Dispatch the encoder graft by the state_dict's own layout — resnet
-    (``conv1.weight``) vs mobilenet_v2 (``features.0.0.weight``) — so the
-    smp model converters work for every supported ``cfg.backbone``."""
+    (``conv1.weight``) vs mobilenet_v2 (``features.0.0.weight``) vs
+    efficientnet (``_conv_stem.weight``) — so the smp model converters
+    work for every supported ``cfg.backbone``."""
     if "features.0.0.weight" in enc_sd:
         return convert_mobilenetv2_state_dict(
+            enc_sd, params, batch_stats, encoder_key=encoder_key)
+    if "_conv_stem.weight" in enc_sd:
+        return convert_efficientnet_state_dict(
             enc_sd, params, batch_stats, encoder_key=encoder_key)
     return convert_resnet_state_dict(
         enc_sd, params, batch_stats, encoder_key=encoder_key)
