@@ -202,15 +202,20 @@ def bench_int8(model_name: str = "unet") -> None:
     bundle, forward = quantize_model(
         model_name, state.params, state.batch_stats, [calib], 512, **kw)
     from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+        INT8_COMPILER_OPTIONS,
         compile_serving,
     )
 
     step = compile_serving(
         make_quantized_infer_step(state.params, state.batch_stats,
-                                  bundle, 512, forward=forward), x)
+                                  bundle, 512, forward=forward), x,
+        options=INT8_COMPILER_OPTIONS)
     out = step(x)
     _ = float(out[0, 0, 0])
-    n_iters, depth = 48, 8
+    # depth-16 dispatch pipelining amortizes the relay round-trip the same
+    # way the bf16 bench does (int8 retune: depth 8→5,620 · 16→5,914 p/s;
+    # depth 32 OOMs on in-flight outputs)
+    n_iters, depth = 96, 16
     t0 = time.perf_counter()
     for i in range(0, n_iters, depth):
         outs = [step(x) for _ in range(depth)]

@@ -34,9 +34,22 @@ SERVING_COMPILER_OPTIONS: Mapping[str, str] = {
 
 # The training program prefers a larger window (bs=256 sweep:
 # 32M→1,126 · 45M→1,135 · 64M→1,148 patches/s) — the backward pass's
-# bigger fusions benefit from more operand staging.
+# bigger fusions benefit from more operand staging.  (The bundle-aware
+# cost model that wins serving LOSES 4–10% on the train program —
+# round-3 sweep in BASELINE.md — so it is deliberately absent here.)
 TRAIN_COMPILER_OPTIONS: Mapping[str, str] = {
     "xla_tpu_scoped_vmem_limit_kib": "65536",
+}
+
+# The int8 program's optimum is higher still: the quantized convs stage
+# int8 operands (half the bf16 footprint), so a bigger window buys more
+# prefetch before crowding out double-buffering (round-3 retune under
+# the bundle-aware model, bs=256: 45M→5,432 · 64M→5,619·5,866@depth16 ·
+# 80M@depth16→5,914 patches/s; bs=512 and depth-32 OOM on in-flight
+# outputs — BASELINE.md int8 retune table).
+INT8_COMPILER_OPTIONS: Mapping[str, str] = {
+    "xla_tpu_scoped_vmem_limit_kib": "81920",
+    "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true",
 }
 
 
