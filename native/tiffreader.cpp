@@ -38,6 +38,7 @@
 #include <cstring>
 #include <fstream>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <string>
@@ -488,13 +489,14 @@ extern "C" {
 
 // returns opaque handle, nullptr on failure
 void* tiff_open(const char* path) try {
-  auto s = new Slide();
-  if (!s->fr.open(path)) { delete s; return nullptr; }
+  // unique_ptr: a throw from parse_ifd must not leak the Slide (and its fd)
+  auto s = std::make_unique<Slide>();
+  if (!s->fr.open(path)) return nullptr;
   uint8_t hdr[16];
-  if (!s->fr.read_at(0, hdr, 8)) { delete s; return nullptr; }
+  if (!s->fr.read_at(0, hdr, 8)) return nullptr;
   if (hdr[0] == 'I' && hdr[1] == 'I') s->fr.little = true;
   else if (hdr[0] == 'M' && hdr[1] == 'M') s->fr.little = false;
-  else { delete s; return nullptr; }
+  else return nullptr;
   uint64_t magic = s->fr.get_uint(hdr + 2, 2);
   uint64_t first_ifd;
   if (magic == 42) {
@@ -502,10 +504,10 @@ void* tiff_open(const char* path) try {
     first_ifd = s->fr.get_uint(hdr + 4, 4);
   } else if (magic == 43) {
     s->big = true;
-    if (!s->fr.read_at(0, hdr, 16)) { delete s; return nullptr; }
+    if (!s->fr.read_at(0, hdr, 16)) return nullptr;
     first_ifd = s->fr.get_uint(hdr + 8, 8);
   } else {
-    delete s; return nullptr;
+    return nullptr;
   }
 
   std::vector<uint64_t> subifds;
@@ -517,12 +519,12 @@ void* tiff_open(const char* path) try {
     if (guard++ >= 256) break;
     parse_ifd(*s, so, nullptr);
   }
-  if (s->levels.empty()) { delete s; return nullptr; }
+  if (s->levels.empty()) return nullptr;
   std::stable_sort(s->levels.begin(), s->levels.end(),
                    [](const Level& a, const Level& b) {
                      return a.width > b.width;
                    });
-  return s;
+  return s.release();
 } catch (...) {
   // C++ exceptions (e.g. bad_alloc on a corrupt header) must not cross the
   // C ABI into ctypes — that terminates the host process.

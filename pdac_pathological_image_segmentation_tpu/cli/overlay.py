@@ -132,6 +132,13 @@ def main(argv=None) -> dict:
             raise SystemExit(
                 f"--int8 supports models {sorted(q.FORWARDS)}, "
                 f"got {cfg.model!r}")
+        if cfg.backbone != "resnet18":
+            raise SystemExit(
+                f"--int8 supports backbone resnet18, got {cfg.backbone!r}")
+        if len(source) == 0:
+            raise SystemExit(
+                "no tiles passed the tissue filter — cannot calibrate "
+                "int8 (try a lower tissue_threshold or a finer --level)")
         n_cal = min(len(source), 16)
         calib = np.stack([source.get(i)[0] for i in range(n_cal)])
         params = evaluator.state.params
@@ -139,7 +146,8 @@ def main(argv=None) -> dict:
         kw = ({"atrous_rates": tuple(cfg.dilations)}
               if cfg.model == "deeplabv3+" else {})
         bundle, forward = q.quantize_model(
-            cfg.model, params, bstats, [calib], cfg.img_size, **kw)
+            cfg.model, params, bstats, [calib], cfg.img_size,
+            backbone=cfg.backbone, **kw)
         infer_step = q.make_quantized_infer_fn(
             params, bstats, bundle, cfg.img_size, forward=forward)
 

@@ -511,17 +511,24 @@ def make_float_infer_step(params, batch_stats, output_size: int,
 
 
 def quantize_model(model_name: str, params, batch_stats, calib_batches,
-                   output_size: int, **model_kw):
+                   output_size: int, backbone: str = "resnet18",
+                   **model_kw):
     """One-call post-training quantization for a supported model:
     calibrates activation scales on ``calib_batches`` (uint8 NHWC) and
     returns ``(bundle, forward)`` for :func:`make_quantized_infer_step` /
     :func:`make_quantized_infer_fn`.  ``model_kw`` forwards topology
     arguments the forward needs (e.g. ``atrous_rates=cfg.dilations`` for
-    deeplabv3+)."""
+    deeplabv3+).  The encoder mirror here is resnet18-only — other
+    backbones would silently trace a wrong topology over a subset of the
+    weights, so anything else is rejected up front."""
     if model_name not in FORWARDS:
         raise ValueError(
             f"no int8 path for model {model_name!r} "
             f"(supported: {sorted(FORWARDS)})")
+    if backbone != "resnet18":
+        raise ValueError(
+            f"int8 serving mirrors a resnet18 encoder; backbone "
+            f"{backbone!r} is not supported (use the bf16 path)")
     forward = FORWARDS[model_name]
     if model_kw:
         import functools
@@ -535,13 +542,15 @@ def quantize_model(model_name: str, params, batch_stats, calib_batches,
 
 def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,
                             forward=resunet_forward):
-    """Raw (unjitted) ``fn(state, images_u8) → probs`` with the WSI
-    runners' ``infer_step`` signature (``infer/wsi.py`` /
-    ``infer/wsi_sharded.py``): traceable inside their jit/shard_map
-    programs; the ``state`` argument is ignored (weights are baked in as
-    int8 constants)."""
+    """Jitted ``fn(state, images_u8) → probs`` with the WSI runners'
+    ``infer_step`` signature (``infer/wsi.py`` / ``infer/wsi_sharded.py``).
+    The jit matters for the plain ``SlidingWindowInference`` path, which
+    calls the step eagerly per batch; under the sharded runner's own
+    jit/shard_map trace the inner jit simply inlines.  The ``state``
+    argument is ignored (weights are baked in as int8 constants)."""
     act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
 
+    @jax.jit
     def fn(state, images):
         del state
         ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])

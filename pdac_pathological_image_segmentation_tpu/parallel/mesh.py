@@ -57,7 +57,12 @@ def initialize_distributed() -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        pass  # already initialized
+        # Tolerate only a lost already-initialized race: a genuine
+        # rendezvous failure must not silently degrade an N-host launch
+        # into N independent single-process runs racing on the same
+        # checkpoint directory.
+        if not jax.distributed.is_initialized():
+            raise
 
 
 def create_mesh(num_devices: Optional[int] = None) -> Mesh:

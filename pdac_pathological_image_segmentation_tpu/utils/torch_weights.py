@@ -55,6 +55,23 @@ def _torch_block_names(backbone_layers: Tuple[int, ...]):
             yield f"layer{stage_idx + 1}.{b}", f"layer{stage_idx + 1}_{b}"
 
 
+def _check_coverage(node: Any, written: set, path: Tuple[str, ...]) -> None:
+    """Strict-graft audit: every leaf-bearing dict in the flax encoder
+    subtree must have been overwritten (its ``id`` recorded in ``written``)
+    — a silent partial graft (renamed torch keys, truncated state_dict)
+    fails loudly instead of training from a mix of pretrained and random
+    weights."""
+    if isinstance(node, dict):
+        if any(not isinstance(v, dict) for v in node.values()):
+            if id(node) not in written:
+                raise KeyError(
+                    "flax encoder subtree not covered by the torch "
+                    f"state_dict: {'/'.join(path)} — partial graft")
+        for k, v in node.items():
+            if isinstance(v, dict):
+                _check_coverage(v, written, path + (k,))
+
+
 def convert_resnet_state_dict(
     sd: Dict[str, np.ndarray],
     params: Any,
@@ -125,20 +142,8 @@ def convert_resnet_state_dict(
                    f"{tname}.downsample.1")
 
     if strict:
-        def check(node, path):
-            if isinstance(node, dict):
-                if any(not isinstance(v, dict) for v in node.values()):
-                    if id(node) not in written:
-                        raise KeyError(
-                            "flax encoder subtree not covered by the torch "
-                            f"state_dict: {'/'.join(path)} — partial graft"
-                        )
-                for k, v in node.items():
-                    if isinstance(v, dict):
-                        check(v, path + (k,))
-
-        check(p_enc, ("params",))
-        check(b_enc, ("batch_stats",))
+        _check_coverage(p_enc, written, ("params",))
+        _check_coverage(b_enc, written, ("batch_stats",))
 
     import jax.numpy as jnp
 
@@ -213,19 +218,8 @@ def convert_mobilenetv2_state_dict(
                "features.18.0", "features.18.1")
 
     if strict:
-        def check(node, path):
-            if isinstance(node, dict):
-                if any(not isinstance(v, dict) for v in node.values()):
-                    if id(node) not in written:
-                        raise KeyError(
-                            "flax encoder subtree not covered by the torch "
-                            f"state_dict: {'/'.join(path)} — partial graft")
-                for k, v in node.items():
-                    if isinstance(v, dict):
-                        check(v, path + (k,))
-
-        check(p_enc, ("params",))
-        check(b_enc, ("batch_stats",))
+        _check_coverage(p_enc, written, ("params",))
+        _check_coverage(b_enc, written, ("batch_stats",))
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -311,19 +305,8 @@ def convert_efficientnet_state_dict(
             f"({n_blocks}) — variant mismatch")
 
     if strict:
-        def check(node, path):
-            if isinstance(node, dict):
-                if any(not isinstance(v, dict) for v in node.values()):
-                    if id(node) not in written:
-                        raise KeyError(
-                            "flax encoder subtree not covered by the torch "
-                            f"state_dict: {'/'.join(path)} — partial graft")
-                for k, v in node.items():
-                    if isinstance(v, dict):
-                        check(v, path + (k,))
-
-        check(p_enc, ("params",))
-        check(b_enc, ("batch_stats",))
+        _check_coverage(p_enc, written, ("params",))
+        _check_coverage(b_enc, written, ("batch_stats",))
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)

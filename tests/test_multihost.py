@@ -50,3 +50,44 @@ def test_two_process_distributed_train(tmp_path):
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
         assert "MULTIHOST_OK" in out, f"rank {r} missing marker:\n{out[-4000:]}"
+
+
+def test_initialize_distributed_reraises_rendezvous_failure(monkeypatch):
+    """A genuine rendezvous failure must propagate — swallowing it would
+    silently degrade an N-host launch into N independent runs racing on
+    the same checkpoint directory (parallel/mesh.py)."""
+    import jax
+
+    from pdac_pathological_image_segmentation_tpu.parallel import mesh
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    monkeypatch.setattr(jax.distributed, "is_initialized",
+                        lambda: False, raising=False)
+
+    def boom(**kwargs):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        mesh.initialize_distributed()
+
+
+def test_initialize_distributed_tolerates_lost_init_race(monkeypatch):
+    """The only swallowed failure is the already-initialized race: if
+    is_initialized() turns true after the raise, proceed quietly."""
+    import jax
+
+    from pdac_pathological_image_segmentation_tpu.parallel import mesh
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    flags = iter([False, True])  # first check: not yet; after raise: yes
+    monkeypatch.setattr(jax.distributed, "is_initialized",
+                        lambda: next(flags), raising=False)
+
+    def boom(**kwargs):
+        raise RuntimeError("already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    mesh.initialize_distributed()  # must not raise

@@ -78,6 +78,16 @@ def test_quantize_model_rejects_unsupported():
         quantize_model("unet++", {}, {}, [], SIZE)
 
 
+def test_quantize_model_rejects_non_resnet18_backbone():
+    """The int8 encoder mirror is resnet18-topology; any other backbone
+    must fail loudly instead of silently tracing the wrong topology over a
+    subset of the weights."""
+    with pytest.raises(ValueError, match="resnet18"):
+        quantize_model("fpn", {}, {}, [], SIZE, backbone="resnet34")
+    with pytest.raises(ValueError, match="resnet18"):
+        quantize_model("unet", {}, {}, [], SIZE, backbone="mobilenet_v2")
+
+
 TILE = 32
 
 
