@@ -176,7 +176,7 @@ def bench_int8(model_name: str = "unet") -> None:
     from pdac_pathological_image_segmentation_tpu.config import Config
     from pdac_pathological_image_segmentation_tpu.infer.quantized import (
         make_quantized_infer_step,
-        quantize_model,
+        quantize_from_config,
     )
     from pdac_pathological_image_segmentation_tpu.models.registry import build_model
     from pdac_pathological_image_segmentation_tpu.train.state import (
@@ -197,10 +197,8 @@ def bench_int8(model_name: str = "unet") -> None:
     x = jax.device_put(
         rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
-    kw = ({"atrous_rates": tuple(cfg.dilations)}
-          if model_name == "deeplabv3+" else {})
-    bundle, forward = quantize_model(
-        model_name, state.params, state.batch_stats, [calib], 512, **kw)
+    bundle, forward = quantize_from_config(
+        cfg, state.params, state.batch_stats, [calib])
     from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
         INT8_COMPILER_OPTIONS,
         compile_serving,

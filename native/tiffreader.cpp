@@ -284,14 +284,23 @@ struct Slide {
   std::mutex io_mu;           // file reads are serialized; decode is parallel
 
   // Per-tile compressed-size cap: a corrupt byte count must not drive a
-  // multi-GiB resize (bad_alloc across the C ABI).  256 MiB comfortably
-  // exceeds any real tile/strip payload.
-  static constexpr uint64_t kMaxTileBytes = 256ull << 20;
+  // multi-GiB resize (bad_alloc across the C ABI).  Derived from the
+  // tile's own decoded size rather than a fixed constant, because
+  // strip-organized levels are exposed as full-width virtual tiles and a
+  // single-strip uncompressed slide legitimately exceeds any fixed cap.
+  // No TIFF codec here (none/deflate/LZW/JPEG) inflates its input by more
+  // than a small factor; 2× decoded + 1 MiB covers pathological-but-valid
+  // incompressible payloads with headers.
+  static uint64_t max_tile_bytes(const Level& lv) {
+    uint64_t decoded = static_cast<uint64_t>(lv.tile_w) * lv.tile_h *
+                       lv.samples * ((lv.bits + 7) / 8);
+    return 2 * decoded + (1ull << 20);
+  }
 
   bool read_tile_bytes(const Level& lv, uint32_t idx,
                        std::vector<uint8_t>& out) {
     if (idx >= lv.offsets.size() || idx >= lv.byte_counts.size()) return false;
-    if (lv.byte_counts[idx] > kMaxTileBytes) return false;
+    if (lv.byte_counts[idx] > max_tile_bytes(lv)) return false;
     size_t n = static_cast<size_t>(lv.byte_counts[idx]);
     out.resize(n);
     std::lock_guard<std::mutex> lk(io_mu);

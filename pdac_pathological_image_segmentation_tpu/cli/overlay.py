@@ -143,11 +143,10 @@ def main(argv=None) -> dict:
         calib = np.stack([source.get(i)[0] for i in range(n_cal)])
         params = evaluator.state.params
         bstats = evaluator.state.batch_stats
-        kw = ({"atrous_rates": tuple(cfg.dilations)}
-              if cfg.model == "deeplabv3+" else {})
-        bundle, forward = q.quantize_model(
-            cfg.model, params, bstats, [calib], cfg.img_size,
-            backbone=cfg.backbone, **kw)
+        # config-driven: derives topology kwargs (deeplabv3+ dilations) and
+        # applies cfg.stain to calibration + serving like the bf16 path
+        bundle, forward = q.quantize_from_config(
+            cfg, params, bstats, [calib])
         infer_step = q.make_quantized_infer_fn(
             params, bstats, bundle, cfg.img_size, forward=forward)
 

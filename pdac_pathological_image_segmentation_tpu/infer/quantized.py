@@ -44,6 +44,9 @@ from pdac_pathological_image_segmentation_tpu.config import (
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
+from pdac_pathological_image_segmentation_tpu.models.fpn import (
+    _upsample_nearest_2x,
+)
 from pdac_pathological_image_segmentation_tpu.models.resnet import BN_EPS
 from pdac_pathological_image_segmentation_tpu.ops.resize import resize_bilinear
 
@@ -210,12 +213,6 @@ def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
     logits = resize_bilinear(logits[..., None].astype(jnp.float32),
                              output_size, output_size)
     return jax.nn.sigmoid(logits[..., 0])
-
-
-def _upsample_nearest_2x(x):
-    n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)
 
 
 def fpn_forward(ctx: _Ctx, params, batch_stats, image_u8, output_size: int):
@@ -510,17 +507,39 @@ def make_float_infer_step(params, batch_stats, output_size: int,
     return step
 
 
+def _with_stain(forward, stain: str):
+    """Wrap a mirror forward so it sees the same stain-normalized pixels the
+    bf16 path's ``eval_transform`` produces (``ops/augment.py``).  Wrapping
+    the *forward* (rather than each caller's batches) means calibration and
+    serving can't disagree about preprocessing."""
+    if stain in (None, "none"):
+        return forward
+
+    def staining_forward(ctx, params, batch_stats, image, output_size):
+        from pdac_pathological_image_segmentation_tpu.ops.stain import (
+            apply_stain_batch,
+        )
+
+        image = apply_stain_batch(
+            image.astype(jnp.float32) / 255.0, stain) * 255.0
+        return forward(ctx, params, batch_stats, image, output_size)
+
+    return staining_forward
+
+
 def quantize_model(model_name: str, params, batch_stats, calib_batches,
                    output_size: int, backbone: str = "resnet18",
-                   **model_kw):
+                   stain: str = "none", **model_kw):
     """One-call post-training quantization for a supported model:
     calibrates activation scales on ``calib_batches`` (uint8 NHWC) and
     returns ``(bundle, forward)`` for :func:`make_quantized_infer_step` /
     :func:`make_quantized_infer_fn`.  ``model_kw`` forwards topology
     arguments the forward needs (e.g. ``atrous_rates=cfg.dilations`` for
-    deeplabv3+).  The encoder mirror here is resnet18-only — other
-    backbones would silently trace a wrong topology over a subset of the
-    weights, so anything else is rejected up front."""
+    deeplabv3+); ``stain`` applies the same on-device H&E normalization the
+    bf16 infer path runs, to both calibration and serving.  The encoder
+    mirror here is resnet18-only — other backbones would silently trace a
+    wrong topology over a subset of the weights, so anything else is
+    rejected up front."""
     if model_name not in FORWARDS:
         raise ValueError(
             f"no int8 path for model {model_name!r} "
@@ -534,10 +553,24 @@ def quantize_model(model_name: str, params, batch_stats, calib_batches,
         import functools
 
         forward = functools.partial(forward, **model_kw)
+    forward = _with_stain(forward, stain)
     scales = calibrate(params, batch_stats, calib_batches, output_size,
                        forward=forward)
     bundle = QUANTIZERS[model_name](params, batch_stats, scales)
     return bundle, forward
+
+
+def quantize_from_config(cfg, params, batch_stats, calib_batches):
+    """Config-driven :func:`quantize_model`: derives the model name,
+    backbone, output size, topology kwargs (deeplabv3+ atrous rates from
+    ``cfg.dilations``) and the ``cfg.stain`` hook from a ``Config``, so CLI
+    callers cannot drop any of them."""
+    kw = {}
+    if cfg.model == "deeplabv3+":
+        kw["atrous_rates"] = tuple(cfg.dilations)
+    return quantize_model(
+        cfg.model, params, batch_stats, calib_batches, cfg.img_size,
+        backbone=cfg.backbone, stain=cfg.stain, **kw)
 
 
 def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,

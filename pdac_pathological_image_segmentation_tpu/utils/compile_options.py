@@ -57,8 +57,10 @@ def compile_serving(jitted: Any, *example_args: Any,
                     options: Mapping[str, str] | None = None) -> Any:
     """AOT-compile ``jitted`` with the serving compiler options; returns
     the compiled executable (callable).  Falls back to ``jitted`` itself
-    if the backend rejects the options."""
-    opts = dict(options or SERVING_COMPILER_OPTIONS)
+    if the backend rejects the options.  ``None`` means the default
+    serving options; an explicit empty dict means *no* options (so sweep
+    baselines aren't silently measured under the defaults)."""
+    opts = dict(SERVING_COMPILER_OPTIONS if options is None else options)
     try:
         return jitted.lower(*example_args).compile(compiler_options=opts)
     except Exception:
@@ -79,7 +81,8 @@ class LazyCompiled:
     def __init__(self, jitted: Any,
                  options: Mapping[str, str] | None = None) -> None:
         self._jitted = jitted
-        self._options = dict(options or SERVING_COMPILER_OPTIONS)
+        self._options = dict(
+            SERVING_COMPILER_OPTIONS if options is None else options)
         self._compiled: Any = None
         self._fallback = False
 

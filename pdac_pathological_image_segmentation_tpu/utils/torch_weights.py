@@ -72,6 +72,29 @@ def _check_coverage(node: Any, written: set, path: Tuple[str, ...]) -> None:
                 _check_coverage(v, written, path + (k,))
 
 
+def _graft_conv(sd: Dict[str, np.ndarray], node: dict, torch_name: str,
+                bias: bool = False) -> None:
+    """Graft a torch conv's OIHW weight into a flax node as HWIO (+ optional
+    bias).  Shared by every converter — the transpose convention must never
+    diverge between them.  Also correct for depthwise convs: torch's
+    (C, 1, kH, kW) transposes to HWIO with I=1, which is what flax's
+    ``feature_group_count=C`` expects."""
+    w = sd[torch_name + ".weight"]
+    node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+    if bias:
+        node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+
+
+def _graft_bn(sd: Dict[str, np.ndarray], p_node: dict, b_node: dict,
+              torch_name: str) -> None:
+    """Graft a torch BatchNorm's affine + running stats into flax
+    params/batch_stats nodes."""
+    p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
+    p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+    b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
+    b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+
+
 def convert_resnet_state_dict(
     sd: Dict[str, np.ndarray],
     params: Any,
@@ -104,14 +127,11 @@ def convert_resnet_state_dict(
                 f"{torch_name}: kernel shape mismatch "
                 f"{flax_node['kernel'].shape} vs torch {w.shape}"
             )
-        flax_node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        _graft_conv(sd, flax_node, torch_name)
         written.add(id(flax_node))
 
     def put_bn(p_node: dict, b_node: dict, torch_name: str) -> None:
-        p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
-        p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
-        b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
-        b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+        _graft_bn(sd, p_node, b_node, torch_name)
         written.add(id(p_node))
         written.add(id(b_node))
 
@@ -182,16 +202,14 @@ def convert_mobilenetv2_state_dict(
 
     def put_convbn(p_node: dict, b_node: dict, conv_t: str, bn_t: str) -> None:
         w = sd[conv_t + ".weight"]  # O,I,H,W (I=1 for depthwise)
-        k = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-        if tuple(p_node["conv"]["kernel"].shape) != k.shape:
+        if tuple(p_node["conv"]["kernel"].shape) != (
+            w.shape[2], w.shape[3], w.shape[1], w.shape[0]
+        ):
             raise ValueError(
                 f"{conv_t}: kernel shape mismatch "
                 f"{p_node['conv']['kernel'].shape} vs torch {w.shape}")
-        p_node["conv"]["kernel"] = k
-        p_node["bn"]["scale"] = sd[bn_t + ".weight"].astype(np.float32)
-        p_node["bn"]["bias"] = sd[bn_t + ".bias"].astype(np.float32)
-        b_node["bn"]["mean"] = sd[bn_t + ".running_mean"].astype(np.float32)
-        b_node["bn"]["var"] = sd[bn_t + ".running_var"].astype(np.float32)
+        _graft_conv(sd, p_node["conv"], conv_t)
+        _graft_bn(sd, p_node["bn"], b_node["bn"], bn_t)
         written.add(id(p_node["conv"]))
         written.add(id(p_node["bn"]))
         written.add(id(b_node["bn"]))
@@ -260,21 +278,17 @@ def convert_efficientnet_state_dict(
 
     def put_conv(node: dict, tname: str, bias: bool = False) -> None:
         w = sd[tname + ".weight"]  # O,I,H,W (I=1 for depthwise)
-        k = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-        if tuple(node["kernel"].shape) != k.shape:
+        if tuple(node["kernel"].shape) != (
+            w.shape[2], w.shape[3], w.shape[1], w.shape[0]
+        ):
             raise ValueError(
                 f"{tname}: kernel shape mismatch "
                 f"{node['kernel'].shape} vs torch {w.shape}")
-        node["kernel"] = k
-        if bias:
-            node["bias"] = sd[tname + ".bias"].astype(np.float32)
+        _graft_conv(sd, node, tname, bias=bias)
         written.add(id(node))
 
     def put_bn(p_node: dict, b_node: dict, tname: str) -> None:
-        p_node["bn"]["scale"] = sd[tname + ".weight"].astype(np.float32)
-        p_node["bn"]["bias"] = sd[tname + ".bias"].astype(np.float32)
-        b_node["bn"]["mean"] = sd[tname + ".running_mean"].astype(np.float32)
-        b_node["bn"]["var"] = sd[tname + ".running_var"].astype(np.float32)
+        _graft_bn(sd, p_node["bn"], b_node["bn"], tname)
         written.add(id(p_node["bn"]))
         written.add(id(b_node["bn"]))
 
@@ -423,10 +437,7 @@ def convert_smp_fpn_state_dict(
     params = jax.tree_util.tree_map(np.asarray, params)
 
     def put_conv(flax_node, torch_name, bias=True):
-        w = sd[torch_name + ".weight"]
-        flax_node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-        if bias:
-            flax_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+        _graft_conv(sd, flax_node, torch_name, bias=bias)
 
     put_conv(params["lateral5"], "decoder.p5")
     for lvl, p in (("lateral4", "p4"), ("lateral3", "p3"), ("lateral2", "p2")):
@@ -480,25 +491,13 @@ def convert_smp_deeplabv3plus_state_dict(
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
 
     def put_conv(node, torch_name, bias=False):
-        w = sd[torch_name + ".weight"]
-        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-        if bias:
-            node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
-
-    def put_depthwise(node, torch_name):
-        # torch depthwise conv weight is (C, 1, kH, kW); flax with
-        # feature_group_count=C expects HWIO with I=1
-        w = sd[torch_name + ".weight"]
-        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+        _graft_conv(sd, node, torch_name, bias=bias)
 
     def put_bn(p_node, b_node, torch_name):
-        p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
-        p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
-        b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
-        b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+        _graft_bn(sd, p_node, b_node, torch_name)
 
     def put_sep(p_node, b_node, torch_sep, torch_bn):
-        put_depthwise(p_node["depthwise"], torch_sep + ".0")
+        put_conv(p_node["depthwise"], torch_sep + ".0")  # depthwise: I=1 HWIO
         put_conv(p_node["pointwise"], torch_sep + ".1")
         put_bn(p_node["bn"], b_node["bn"], torch_bn)
 
@@ -561,16 +560,10 @@ def convert_smp_pspnet_state_dict(
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
 
     def put_conv(node, torch_name, bias=False):
-        w = sd[torch_name + ".weight"]
-        node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-        if bias:
-            node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+        _graft_conv(sd, node, torch_name, bias=bias)
 
     def put_bn(p_node, b_node, torch_name):
-        p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
-        p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
-        b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
-        b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
+        _graft_bn(sd, p_node, b_node, torch_name)
 
     for block_idx, size in enumerate((1, 2, 3, 6)):
         pre = f"decoder.psp.blocks.{block_idx}.pool.1"

@@ -191,12 +191,42 @@ def test_forced_filters_native_bit_exact(tmp_path, shape, color_type,
     np.testing.assert_array_equal(out[0].reshape(shape), arr)
 
 
-def test_truncated_idat_rejected(tmp_path):
+def test_truncated_file_rejected(tmp_path):
     arr = np.zeros((16, 16, 3), np.uint8)
     _write_png(tmp_path / "ok.png", arr, [4], 2)
     data = open(tmp_path / "ok.png", "rb").read()
-    # drop the last 24 bytes of the file (inside IDAT+IEND): the streaming
-    # inflate must fail cleanly, not hang or emit partial rows as success
+    # drop the last 24 bytes of the file: the IDAT chunk framing itself is
+    # now short, so the chunk parser must reject the file
     open(tmp_path / "trunc.png", "wb").write(data[:-24])
     with pytest.raises(IOError):
         native_loader.decode_batch([str(tmp_path / "trunc.png")], 16, 16, 3)
+
+
+def test_truncated_zlib_stream_rejected(tmp_path):
+    # Valid chunk framing, truncated DEFLATE payload: unlike the file-level
+    # truncation above, this reaches the streaming-inflate loop, which must
+    # fail cleanly (y < height at stream end), not hang or report the
+    # partially-unfiltered rows as success.
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    raw = bytearray()
+    for y in range(16):
+        raw.append(0)
+        raw.extend(arr[y].tobytes())
+    z = zlib.compress(bytes(raw))
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", z[:len(z) // 2])  # well-framed, half the stream
+           + chunk(b"IEND", b""))
+    open(tmp_path / "zcut.png", "wb").write(png)
+    with pytest.raises(IOError):
+        native_loader.decode_batch([str(tmp_path / "zcut.png")], 16, 16, 3)

@@ -138,3 +138,36 @@ def test_int8_sliding_window_inference(setup):
         num_workers=1, infer_step=lambda s, im: qstep(im)).run(source)
     agree = np.mean((q_prob >= 0.5) == (ref_prob >= 0.5))
     assert agree > 0.98, f"mask agreement {agree:.4f}"
+
+
+def test_quantize_from_config_applies_stain(setup):
+    """cfg.stain must reach the int8 path: the float-mode mirror built by
+    quantize_from_config(stain=reinhard) must match the bf16 eval path WITH
+    stain (and differ from the stainless mirror)."""
+    from pdac_pathological_image_segmentation_tpu.infer.quantized import (
+        make_float_infer_step,
+        quantize_from_config,
+    )
+    from pdac_pathological_image_segmentation_tpu.ops.augment import (
+        eval_transform,
+    )
+
+    model, state, image = setup
+    cfg = Config(model="unet", img_size=SIZE, compute_dtype="float32",
+                 stain="reinhard")
+    _, forward = quantize_from_config(
+        cfg, state.params, state.batch_stats, [image])
+    got = make_float_infer_step(state.params, state.batch_stats, SIZE,
+                                forward=forward)(image)
+
+    imgs, _ = eval_transform(image, jnp.zeros((4, 1, 1), jnp.uint8),
+                             img_size=SIZE, stain="reinhard")
+    ref = jax.nn.sigmoid(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        imgs, train=False)[..., 0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    plain = make_float_infer_step(state.params, state.batch_stats,
+                                  SIZE)(image)
+    assert float(jnp.max(jnp.abs(got - plain))) > 1e-6
