@@ -278,15 +278,19 @@ class Trainer:
         if restored is None:
             # reference-pipeline resume contract: a torch latest.pth in the
             # pth dir (train_worker.py:186-201) — convert weights, BN stats
-            # AND Adam moments so optimization continues warm
+            # AND Adam moments so optimization continues warm, for any of
+            # the four reference architectures
             ref_pth = os.path.join(self.pth_path, "latest.pth")
-            if os.path.isfile(ref_pth) and self.cfg.model == "unet":
+            if os.path.isfile(ref_pth) and self.cfg.model in (
+                "unet", "fpn", "deeplabv3+", "pspnet"
+            ):
                 from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
                     load_reference_checkpoint_full,
                 )
 
                 state, meta = load_reference_checkpoint_full(
-                    ref_pth, jax.device_get(self.state)
+                    ref_pth, jax.device_get(self.state),
+                    model_name=self.cfg.model,
                 )
                 restored = (jax.device_put(state, self.repl_sharding), meta)
         if restored is not None:

@@ -72,6 +72,72 @@ def _check_coverage(node: Any, written: set, path: Tuple[str, ...]) -> None:
                 _check_coverage(v, written, path + (k,))
 
 
+class _GraftRecorder:
+    """Records, during a weight-converter run, where each torch parameter
+    landed in the flax params tree and which layout op it got — the exact
+    information optimizer-moment conversion needs (torch Adam moments share
+    their parameter's shape and must get the same transpose).  Deriving the
+    mapping by re-running the golden-tested weight converter means it cannot
+    drift from the weight placement.
+
+    Entries are recorded against *node object identity* (the helpers only
+    see the node); :meth:`resolve` is called by each converter against its
+    live numpy tree before the final jnp rebuild, turning node refs into
+    tree paths (paths survive ``tree_map`` rebuilds; object ids do not)."""
+
+    _active: "_GraftRecorder | None" = None
+
+    def __init__(self) -> None:
+        self.prefix = ""
+        # torch_key -> (node_ref | None, leaf, kind, resolved_path | None)
+        self.entries: Dict[str, list] = {}
+
+    @classmethod
+    def note(cls, node: dict, leaf: str, torch_key: str, kind: str) -> None:
+        rec = cls._active
+        if rec is not None:
+            rec.entries[rec.prefix + torch_key] = [node, leaf, kind, None]
+
+    @classmethod
+    def resolve_active(cls, params: Any) -> None:
+        rec = cls._active
+        if rec is None:
+            return
+        id2path: Dict[int, tuple] = {}
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                id2path[id(node)] = path
+                for k, v in node.items():
+                    walk(v, path + (k,))
+
+        walk(params, ())
+        for ent in rec.entries.values():
+            node, leaf, _, resolved = ent
+            if resolved is None and node is not None and id(node) in id2path:
+                ent[3] = id2path[id(node)] + (leaf,)
+                ent[0] = None
+
+    @classmethod
+    def prefixed(cls, prefix: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            rec = cls._active
+            if rec is None:
+                yield
+                return
+            old = rec.prefix
+            rec.prefix = old + prefix
+            try:
+                yield
+            finally:
+                rec.prefix = old
+
+        return ctx()
+
+
 def _graft_conv(sd: Dict[str, np.ndarray], node: dict, torch_name: str,
                 bias: bool = False) -> None:
     """Graft a torch conv's OIHW weight into a flax node as HWIO (+ optional
@@ -81,16 +147,27 @@ def _graft_conv(sd: Dict[str, np.ndarray], node: dict, torch_name: str,
     ``feature_group_count=C`` expects."""
     w = sd[torch_name + ".weight"]
     node["kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+    _GraftRecorder.note(node, "kernel", torch_name + ".weight", "oihw")
     if bias:
         node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+        _GraftRecorder.note(node, "bias", torch_name + ".bias", "ident")
+
+
+def _graft_norm_affine(sd: Dict[str, np.ndarray], p_node: dict,
+                       torch_name: str) -> None:
+    """Graft a torch norm layer's learnable affine (weight/bias → flax
+    scale/bias) — BatchNorm and GroupNorm share this layout."""
+    p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
+    p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+    _GraftRecorder.note(p_node, "scale", torch_name + ".weight", "ident")
+    _GraftRecorder.note(p_node, "bias", torch_name + ".bias", "ident")
 
 
 def _graft_bn(sd: Dict[str, np.ndarray], p_node: dict, b_node: dict,
               torch_name: str) -> None:
     """Graft a torch BatchNorm's affine + running stats into flax
     params/batch_stats nodes."""
-    p_node["scale"] = sd[torch_name + ".weight"].astype(np.float32)
-    p_node["bias"] = sd[torch_name + ".bias"].astype(np.float32)
+    _graft_norm_affine(sd, p_node, torch_name)
     b_node["mean"] = sd[torch_name + ".running_mean"].astype(np.float32)
     b_node["var"] = sd[torch_name + ".running_var"].astype(np.float32)
 
@@ -164,6 +241,7 @@ def convert_resnet_state_dict(
     if strict:
         _check_coverage(p_enc, written, ("params",))
         _check_coverage(b_enc, written, ("batch_stats",))
+    _GraftRecorder.resolve_active(params)
 
     import jax.numpy as jnp
 
@@ -238,6 +316,7 @@ def convert_mobilenetv2_state_dict(
     if strict:
         _check_coverage(p_enc, written, ("params",))
         _check_coverage(b_enc, written, ("batch_stats",))
+    _GraftRecorder.resolve_active(params)
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -321,6 +400,7 @@ def convert_efficientnet_state_dict(
     if strict:
         _check_coverage(p_enc, written, ("params",))
         _check_coverage(b_enc, written, ("batch_stats",))
+    _GraftRecorder.resolve_active(params)
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -380,9 +460,10 @@ def convert_resunet_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_encoder_state_dict(
-        enc_sd, params, batch_stats, encoder_key="encoder"
-    )
+    with _GraftRecorder.prefixed("encoder."):
+        params, batch_stats = convert_encoder_state_dict(
+            enc_sd, params, batch_stats, encoder_key="encoder"
+        )
     params = jax.tree_util.tree_map(np.asarray, params)
 
     for name in ("upconv1", "upconv2", "upconv3"):
@@ -431,9 +512,10 @@ def convert_smp_fpn_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_encoder_state_dict(
-        enc_sd, params, batch_stats, encoder_key="encoder"
-    )
+    with _GraftRecorder.prefixed("encoder."):
+        params, batch_stats = convert_encoder_state_dict(
+            enc_sd, params, batch_stats, encoder_key="encoder"
+        )
     params = jax.tree_util.tree_map(np.asarray, params)
 
     def put_conv(flax_node, torch_name, bias=True):
@@ -448,12 +530,10 @@ def convert_smp_fpn_state_dict(
             pre = f"decoder.seg_blocks.{i}.block.{j}.block"
             node = params[f"seg{i}_{j}"]
             put_conv(node["Conv_0"], f"{pre}.0", bias=False)
-            node["GroupNorm_0"]["scale"] = sd[f"{pre}.1.weight"].astype(
-                np.float32)
-            node["GroupNorm_0"]["bias"] = sd[f"{pre}.1.bias"].astype(
-                np.float32)
+            _graft_norm_affine(sd, node["GroupNorm_0"], f"{pre}.1")
 
     put_conv(params["head"], "segmentation_head.0")
+    _GraftRecorder.resolve_active(params)
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -484,9 +564,10 @@ def convert_smp_deeplabv3plus_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_encoder_state_dict(
-        enc_sd, params, batch_stats, encoder_key="encoder"
-    )
+    with _GraftRecorder.prefixed("encoder."):
+        params, batch_stats = convert_encoder_state_dict(
+            enc_sd, params, batch_stats, encoder_key="encoder"
+        )
     params = jax.tree_util.tree_map(np.asarray, params)
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
 
@@ -523,6 +604,7 @@ def convert_smp_deeplabv3plus_state_dict(
     put_sep(params["fuse"], batch_stats["fuse"],
             "decoder.block2.0", "decoder.block2.1")
     put_conv(params["head"], "segmentation_head.0", bias=True)
+    _GraftRecorder.resolve_active(params)
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -553,9 +635,10 @@ def convert_smp_pspnet_state_dict(
 
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
-    params, batch_stats = convert_encoder_state_dict(
-        enc_sd, params, batch_stats, encoder_key="encoder"
-    )
+    with _GraftRecorder.prefixed("encoder."):
+        params, batch_stats = convert_encoder_state_dict(
+            enc_sd, params, batch_stats, encoder_key="encoder"
+        )
     params = jax.tree_util.tree_map(np.asarray, params)
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
 
@@ -578,6 +661,7 @@ def convert_smp_pspnet_state_dict(
     put_bn(params["bottleneck_bn"], batch_stats["bottleneck_bn"],
            "decoder.conv.1")
     put_conv(params["head"], "segmentation_head.0", bias=True)
+    _GraftRecorder.resolve_active(params)
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
@@ -651,18 +735,19 @@ def _resunet_torch_param_path(name: str):
     raise KeyError(f"unmapped param {name!r}")
 
 
-def convert_resunet_optimizer_state(
-    ckpt: dict, params: Any
+def _convert_optimizer_state(
+    ckpt: dict, params: Any, param_path_fn
 ) -> Tuple[Any, Any, int]:
-    """Convert the reference checkpoint's torch Adam state
+    """Shared core of the torch-Adam → optax moment conversion
     (``train_worker.py:116-120`` saves ``optimizer.state_dict()``; resume
-    restores the moments at ``train_worker.py:195``) into optax
-    ``scale_by_adam`` trees.
+    restores the moments at ``train_worker.py:195``).
 
     torch indexes optimizer state by position in ``model.parameters()`` —
-    the state_dict key order minus BN buffers.  Params that never received
-    gradients (encoder.fc under ``find_unused_parameters=True``) have no
-    state entry and stay zero here, matching a cold moment.
+    the state_dict key order minus BN buffers.  ``param_path_fn(name)``
+    maps a torch parameter name to ``(flax path tuple, layout transform)``
+    or ``None`` for params we don't instantiate; params that never received
+    gradients (e.g. ``encoder.fc`` under ``find_unused_parameters=True``)
+    have no state entry and stay zero here, matching a cold moment.
 
     Returns ``(mu, nu, count)`` shaped like ``params`` (zeros where the
     checkpoint has no state).
@@ -702,7 +787,7 @@ def convert_resunet_optimizer_state(
         entry = opt_state.get(idx, opt_state.get(str(idx)))
         if entry is None:
             continue
-        mapped = _resunet_torch_param_path(name)
+        mapped = param_path_fn(name)
         if mapped is None:
             continue
         path, transform = mapped
@@ -723,20 +808,69 @@ def convert_resunet_optimizer_state(
     return mu, nu, count
 
 
-def load_reference_checkpoint_full(path: str, state: Any):
+def convert_resunet_optimizer_state(
+    ckpt: dict, params: Any
+) -> Tuple[Any, Any, int]:
+    """Torch Adam moments → optax for the reference ResUNet (handwritten
+    name→path mapping; see :func:`_convert_optimizer_state`)."""
+    return _convert_optimizer_state(ckpt, params, _resunet_torch_param_path)
+
+
+_SMP_WEIGHT_CONVERTERS = {
+    "fpn": convert_smp_fpn_state_dict,
+    "deeplabv3+": convert_smp_deeplabv3plus_state_dict,
+    "pspnet": convert_smp_pspnet_state_dict,
+}
+
+_MOMENT_TRANSFORMS = {
+    "oihw": lambda a: np.transpose(a, (2, 3, 1, 0)).astype(np.float32),
+    "ident": lambda a: np.asarray(a, np.float32),
+}
+
+
+def _convert_smp_with_moments(sd, ckpt, model_name: str, params, batch_stats):
+    """One recorded run of the smp weight converter yields the converted
+    variables AND the torch-name → (flax path, layout op) mapping, from
+    which the Adam moments convert (:class:`_GraftRecorder` — moment
+    placement is derived from the golden-tested weight placement, so the
+    two can never drift).  Returns ``(params, batch_stats, mu, nu, count)``."""
+    rec = _GraftRecorder()
+    _GraftRecorder._active = rec
+    try:
+        params, batch_stats = _SMP_WEIGHT_CONVERTERS[model_name](
+            sd, params, batch_stats)
+    finally:
+        _GraftRecorder._active = None
+    mapping = {k: (e[3], _MOMENT_TRANSFORMS[e[2]])
+               for k, e in rec.entries.items() if e[3] is not None}
+    mu, nu, count = _convert_optimizer_state(ckpt, params, mapping.get)
+    return params, batch_stats, mu, nu, count
+
+
+def load_reference_checkpoint_full(path: str, state: Any,
+                                   model_name: str = "unet"):
     """Load a reference ``latest.pth`` as a FULL resume point: model weights,
     BN stats, Adam moments, epoch, and previous_best — the reference's
     resume contract (``train_worker.py:186-201``) without restarting
-    optimization cold.  Returns ``(new_state, meta_dict)``."""
+    optimization cold, for any of the four reference architectures.
+    Returns ``(new_state, meta_dict)``."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = {k.replace("module.", ""): v.detach().cpu().numpy()
           for k, v in ckpt["model"].items()}
-    params, batch_stats = convert_resunet_state_dict(
-        sd, state.params, state.batch_stats
-    )
-    mu, nu, count = convert_resunet_optimizer_state(ckpt, params)
+    if model_name == "unet":
+        params, batch_stats = convert_resunet_state_dict(
+            sd, state.params, state.batch_stats
+        )
+        mu, nu, count = convert_resunet_optimizer_state(ckpt, params)
+    elif model_name in _SMP_WEIGHT_CONVERTERS:
+        params, batch_stats, mu, nu, count = _convert_smp_with_moments(
+            sd, ckpt, model_name, state.params, state.batch_stats)
+    else:
+        raise ValueError(
+            f"no reference-checkpoint resume for model {model_name!r} "
+            f"(supported: unet, {', '.join(sorted(_SMP_WEIGHT_CONVERTERS))})")
     state = state.replace(params=params, batch_stats=batch_stats)
     state = state.with_adam_moments(mu, nu, count)
     return state, {

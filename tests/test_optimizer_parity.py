@@ -173,3 +173,169 @@ def test_one_step_training_parity_vs_torch(warm_reference_ckpt):
         np.testing.assert_allclose(delta_f, delta_t, atol=LR * 0.02,
                                    err_msg=tname)
         assert np.abs(delta_t).max() > LR * 0.1  # the step actually moved
+
+
+# ---------------------------------------------------------------------------
+# smp models: moments derived via the graft recorder (torch_weights.py
+# _convert_smp_with_moments) — reference train_worker.py:186-201 resume for
+# fpn / deeplabv3+ / pspnet
+# ---------------------------------------------------------------------------
+
+def _warm_torch_ckpt(tmodel, tmp_path_factory, tag):
+    opt = torch.optim.Adam(tmodel.parameters(), lr=LR)
+    rng = np.random.default_rng(3)
+    for _ in range(2):
+        imgs = rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8)
+        msks = rng.integers(0, 2, (2, SIZE, SIZE)).astype(np.float32)
+        x = torch.as_tensor(_normalize_np(imgs).transpose(0, 3, 1, 2))
+        loss = _torch_dice_loss(tmodel(x)[:, 0], torch.as_tensor(msks))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    path = tmp_path_factory.mktemp(tag) / "latest.pth"
+    torch.save({
+        "model": {f"module.{k}": v for k, v in tmodel.state_dict().items()},
+        "optimizer": opt.state_dict(),
+        "epoch": 1,
+        "previous_best": 0.3,
+    }, path)
+    return str(path), opt
+
+
+def _find_adam(state):
+    import optax
+
+    adams = [
+        n for n in jax.tree_util.tree_leaves(
+            state.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        if isinstance(n, optax.ScaleByAdamState)
+    ]
+    assert len(adams) == 1
+    return adams[0]
+
+
+def _check_moments(adam, tmodel, opt, checks):
+    names = [k for k in tmodel.state_dict()
+             if not k.endswith(("running_mean", "running_var",
+                                "num_batches_tracked"))]
+    opt_state = opt.state_dict()["state"]
+    for tname, fpath, tf in checks:
+        i = names.index(tname)
+        assert i in opt_state, f"{tname}: no torch Adam state"
+        for torch_m, flax_tree in (("exp_avg", adam.mu),
+                                   ("exp_avg_sq", adam.nu)):
+            ref = opt_state[i][torch_m].numpy()
+            node = flax_tree
+            for k in fpath:
+                node = node[k]
+            np.testing.assert_allclose(np.asarray(node), tf(ref), rtol=1e-6,
+                                       err_msg=f"{tname} {torch_m}")
+
+
+def test_fpn_adam_moments_converted(tmp_path_factory):
+    from test_fpn_golden import _TorchSmpFPN
+
+    torch.manual_seed(5)
+    tmodel = _TorchSmpFPN().train()
+    path, opt = _warm_torch_ckpt(tmodel, tmp_path_factory, "fpnckpt")
+
+    cfg = Config(model="fpn", img_size=SIZE, compute_dtype="float32", lr=LR,
+                 use_pallas=False)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state, meta = load_reference_checkpoint_full(path, state,
+                                                 model_name="fpn")
+    assert meta["epoch"] == 1
+    adam = _find_adam(state)
+    assert int(adam.count) == 2
+
+    oihw = lambda w: w.transpose(2, 3, 1, 0)
+    ident = lambda w: w
+    _check_moments(adam, tmodel, opt, [
+        ("encoder.conv1.weight", ("encoder", "conv1", "kernel"), oihw),
+        ("encoder.layer3.0.bn2.weight",
+         ("encoder", "layer3_0", "bn2", "scale"), ident),
+        ("decoder.p5.weight", ("lateral5", "kernel"), oihw),
+        ("decoder.p5.bias", ("lateral5", "bias"), ident),
+        ("decoder.p4.skip_conv.weight", ("lateral4", "kernel"), oihw),
+        ("decoder.seg_blocks.0.block.0.block.0.weight",
+         ("seg0_0", "Conv_0", "kernel"), oihw),
+        ("decoder.seg_blocks.0.block.0.block.1.weight",
+         ("seg0_0", "GroupNorm_0", "scale"), ident),
+        ("segmentation_head.0.weight", ("head", "kernel"), oihw),
+        ("segmentation_head.0.bias", ("head", "bias"), ident),
+    ])
+
+
+def test_pspnet_adam_moments_converted(tmp_path_factory):
+    from test_pspnet_golden import _TorchSmpPSPNet
+
+    torch.manual_seed(6)
+    tmodel = _TorchSmpPSPNet().train()
+    path, opt = _warm_torch_ckpt(tmodel, tmp_path_factory, "pspckpt")
+
+    cfg = Config(model="pspnet", img_size=SIZE, compute_dtype="float32",
+                 lr=LR, use_pallas=False)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state, meta = load_reference_checkpoint_full(path, state,
+                                                 model_name="pspnet")
+    adam = _find_adam(state)
+    assert int(adam.count) == 2
+
+    oihw = lambda w: w.transpose(2, 3, 1, 0)
+    ident = lambda w: w
+    _check_moments(adam, tmodel, opt, [
+        ("encoder.conv1.weight", ("encoder", "conv1", "kernel"), oihw),
+        ("decoder.psp.blocks.0.pool.1.0.weight",
+         ("psp_1", "conv", "kernel"), oihw),
+        ("decoder.psp.blocks.0.pool.1.0.bias",
+         ("psp_1", "conv", "bias"), ident),
+        ("decoder.conv.0.weight", ("bottleneck_conv", "kernel"), oihw),
+        ("segmentation_head.0.weight", ("head", "kernel"), oihw),
+    ])
+    # depth-3 encoder: layer4 never runs in the twin -> no torch Adam
+    # state -> its converted moments stay cold (zeros)
+    names = [k for k in tmodel.state_dict()
+             if not k.endswith(("running_mean", "running_var",
+                                "num_batches_tracked"))]
+    i4 = names.index("encoder.layer4.0.conv1.weight")
+    assert i4 not in opt.state_dict()["state"]
+    assert float(np.abs(
+        np.asarray(adam.mu["encoder"]["layer4_0"]["conv1"]["kernel"])
+    ).sum()) == 0.0
+
+
+def test_deeplab_adam_moments_converted(tmp_path_factory):
+    from test_deeplab_golden import _TorchSmpDeepLabV3Plus
+
+    torch.manual_seed(7)
+    tmodel = _TorchSmpDeepLabV3Plus().train()
+    path, opt = _warm_torch_ckpt(tmodel, tmp_path_factory, "dlckpt")
+
+    cfg = Config(model="deeplabv3+", img_size=SIZE, compute_dtype="float32",
+                 lr=LR, use_pallas=False)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state, meta = load_reference_checkpoint_full(path, state,
+                                                 model_name="deeplabv3+")
+    adam = _find_adam(state)
+    assert int(adam.count) == 2
+
+    oihw = lambda w: w.transpose(2, 3, 1, 0)
+    ident = lambda w: w
+    _check_moments(adam, tmodel, opt, [
+        ("encoder.conv1.weight", ("encoder", "conv1", "kernel"), oihw),
+        ("decoder.aspp.0.convs.0.0.weight",
+         ("aspp", "branch_1x1", "conv", "kernel"), oihw),
+        # SeparableConv2d: depthwise (C,1,k,k) gets the same OIHW->HWIO op
+        ("decoder.aspp.0.convs.1.0.0.weight",
+         ("aspp", "branch_r0", "depthwise", "kernel"), oihw),
+        ("decoder.aspp.0.convs.1.0.1.weight",
+         ("aspp", "branch_r0", "pointwise", "kernel"), oihw),
+        ("decoder.aspp.0.project.1.weight",
+         ("aspp", "project", "bn", "scale"), ident),
+        ("decoder.block1.0.weight", ("skip_project", "conv", "kernel"), oihw),
+        ("segmentation_head.0.weight", ("head", "kernel"), oihw),
+    ])
