@@ -27,7 +27,8 @@
 // own writer (data/tiffwriter.py).  SubIFD (tag 330) chains are followed
 // one level deep, covering the "pyramid in SubIFDs" flavor.
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC -o libtiffreader.so tiffreader.cpp -lz -lpthread
+// Build: g++ -O3 -std=c++17 -shared -fPIC -o libtiffreader.so
+//        tiffreader.cpp jpegdec.cpp -lz -lpthread  (see Makefile)
 
 #include <zlib.h>
 
@@ -44,6 +45,12 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+// native/jpegdec.cpp — baseline-JPEG decoder for compression-7 tiles
+extern "C" int32_t jpeg_decode_rgb(const uint8_t* tables, int64_t tables_len,
+                                   const uint8_t* scan, int64_t scan_len,
+                                   uint8_t* out, int32_t out_w, int32_t out_h,
+                                   int32_t* img_w, int32_t* img_h);
 
 namespace {
 
@@ -414,7 +421,21 @@ uint64_t parse_ifd(Slide& s, uint64_t off, std::vector<uint64_t>* subifds) {
 // with zeros beyond the image edge as stored)
 int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
   if (lv.bits != 8 || lv.planar != 1) return kUnsupported;
-  if (lv.compression == 7) return kJpegTile;
+  if (lv.compression == 7) {
+    // baseline JPEG decodes in-repo (native/jpegdec.cpp); kJpegTile only
+    // for streams it can't handle (progressive/CMYK/12-bit), which the
+    // Python caller routes to PIL
+    uint32_t idx = ty * lv.tiles_x() + tx;
+    std::vector<uint8_t> comp;
+    if (!s.read_tile_bytes(lv, idx, comp)) return kCorrupt;
+    int32_t rc = jpeg_decode_rgb(
+        lv.jpeg_tables.empty() ? nullptr : lv.jpeg_tables.data(),
+        static_cast<int64_t>(lv.jpeg_tables.size()), comp.data(),
+        static_cast<int64_t>(comp.size()), dst,
+        static_cast<int32_t>(lv.tile_w), static_cast<int32_t>(lv.tile_h),
+        nullptr, nullptr);
+    return rc == kOk ? kOk : kJpegTile;
+  }
   if (lv.compression != 1 && lv.compression != 5 && lv.compression != 8 &&
       lv.compression != 32946)
     return kUnsupported;
@@ -621,7 +642,6 @@ int32_t tiff_read_region(void* h, int32_t level, int64_t x, int64_t y,
       w <= 0 || hh <= 0)
     return kBadArgument;
   Level& lv = s->levels[level];
-  if (lv.compression == 7) return kJpegTile;
 
   std::memset(dst, 0, static_cast<size_t>(w) * hh * 3);
   const int64_t tw = lv.tile_w, th = lv.tile_h;

@@ -4,10 +4,11 @@
 The reference reads slides through openslide (SURVEY.md §3.5 / N5 — the
 ``visualize_config.yaml`` slide path + PyHIST's openslide tiler).  This is
 the tpu-native equivalent: a from-scratch C++ tiled-(Big)TIFF parser that
-decodes deflate/LZW/uncompressed tiles on a thread pool straight into NHWC
-uint8 buffers, with JPEG tiles handed to PIL as abbreviated JPEG
-datastreams (the SVS layout: shared Huffman/quant tables in the
-``JPEGTables`` tag, per-tile scans).
+decodes deflate/LZW/uncompressed/**baseline-JPEG** tiles on a thread pool
+straight into NHWC uint8 buffers.  JPEG tiles (the SVS layout: shared
+Huffman/quant tables in the ``JPEGTables`` tag, per-tile abbreviated
+scans) decode in-repo too (``native/jpegdec.cpp``); only streams outside
+its scope (progressive/CMYK/12-bit) fall back to PIL per tile.
 
 The library auto-builds with ``g++`` on first use (artifact keyed by a
 source hash so stale binaries never shadow source changes — same hygiene as
@@ -53,14 +54,20 @@ _ERRORS = {
 _JPEG_TILE = 6
 
 
+_SOURCES = ("tiffreader.cpp", "jpegdec.cpp")
+
+
 def _lib_path() -> Optional[str]:
-    src = os.path.join(_NATIVE_DIR, "tiffreader.cpp")
-    if not os.path.exists(src):
-        return None
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(
-            f.read() + " ".join(_BUILD_CMD).encode()
-        ).hexdigest()[:12]
+    blob = b""
+    for name in _SOURCES:
+        src = os.path.join(_NATIVE_DIR, name)
+        if not os.path.exists(src):
+            return None
+        with open(src, "rb") as f:
+            blob += f.read()
+    digest = hashlib.sha256(
+        blob + " ".join(_BUILD_CMD).encode()
+    ).hexdigest()[:12]
     return os.path.join(_NATIVE_DIR, f"libtiffreader-{digest}.so")
 
 
@@ -75,9 +82,9 @@ def _get_lib():
         if path is None:
             raise RuntimeError("native/tiffreader.cpp not found")
         if not os.path.exists(path):
-            src = os.path.join(_NATIVE_DIR, "tiffreader.cpp")
+            srcs = [os.path.join(_NATIVE_DIR, n) for n in _SOURCES]
             subprocess.run(
-                _BUILD_CMD + ["-o", path, src, "-lz", "-lpthread"],
+                _BUILD_CMD + ["-o", path] + srcs + ["-lz", "-lpthread"],
                 check=True, capture_output=True, timeout=180,
             )
         lib = ctypes.CDLL(path)
@@ -109,6 +116,12 @@ def _get_lib():
         lib.tiff_read_region.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+        ]
+        lib.jpeg_decode_rgb.restype = ctypes.c_int32
+        lib.jpeg_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return _lib
@@ -233,15 +246,22 @@ class TiffSlide:
         """Arbitrary (x, y, w, h) region of ``level`` as (h, w, 3) uint8,
         zero-filled outside the image."""
         info = self.level_info[level]
-        if info["compression"] == 7:
-            # JPEG levels assemble tile-by-tile through PIL
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.tiff_read_region(
+            self._h, level, x, y, w, h,
+            out.ctypes.data_as(ctypes.c_char_p),
+        )
+        if rc == _JPEG_TILE:
+            # a JPEG stream outside the native decoder's scope
+            # (progressive/CMYK/12-bit): assemble tile-by-tile, each tile
+            # preferring native and falling back to PIL individually
             out = np.zeros((h, w, 3), np.uint8)
             tw, th = info["tile_w"], info["tile_h"]
             for ty in range(max(0, y // th),
                             min(info["tiles_y"], -(-(y + h) // th))):
                 for tx in range(max(0, x // tw),
                                 min(info["tiles_x"], -(-(x + w) // tw))):
-                    tile = self._decode_jpeg_tile(level, tx, ty)
+                    tile = self.read_tile(level, tx, ty)
                     sx0, sy0 = max(x, tx * tw), max(y, ty * th)
                     sx1 = min(x + w, (tx + 1) * tw)
                     sy1 = min(y + h, (ty + 1) * th, info["height"])
@@ -251,11 +271,6 @@ class TiffSlide:
                         tile[sy0 - ty * th:sy1 - ty * th,
                              sx0 - tx * tw:sx1 - tx * tw]
             return out
-        out = np.empty((h, w, 3), np.uint8)
-        rc = self._lib.tiff_read_region(
-            self._h, level, x, y, w, h,
-            out.ctypes.data_as(ctypes.c_char_p),
-        )
         if rc:
             raise IOError(f"read_region failed: {_ERRORS.get(rc, rc)}")
         return out

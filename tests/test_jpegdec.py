@@ -1,0 +1,147 @@
+"""Native baseline-JPEG decoder (native/jpegdec.cpp): parity vs PIL across
+color spaces / subsampling / restart markers, abbreviated TIFF datastreams
+(JPEGTables), and clean rejection of out-of-scope streams (the PIL-fallback
+contract of data/tiffslide.py)."""
+
+import ctypes
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
+    TiffSlide,
+    _get_lib,
+)
+
+_JPEG_TILE = 6  # tiffreader.cpp kJpegTile: "fall back to PIL"
+
+
+def _decode(data, w, h, tables=b""):
+    lib = _get_lib()
+    out = np.zeros((h, w, 3), np.uint8)
+    iw, ih = ctypes.c_int32(0), ctypes.c_int32(0)
+    rc = lib.jpeg_decode_rgb(
+        tables or None, len(tables), data, len(data),
+        out.ctypes.data_as(ctypes.c_char_p), w, h,
+        ctypes.byref(iw), ctypes.byref(ih))
+    return rc, out, iw.value, ih.value
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        120 + 80 * np.sin(xx / 13.0 + seed) + 30 * np.cos(yy / 7.0),
+        90 + 60 * np.cos(xx / 9.0 + yy / 11.0),
+        140 + 50 * np.sin(yy / 17.0 - seed),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def _jpeg_bytes(arr, **save_kw):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", **save_kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("subsampling,quality,tol", [
+    ("4:4:4", 95, 3),   # no chroma upsampling: IDCT/rounding differences only
+    ("4:2:0", 90, 4),   # centered-bilinear vs libjpeg fancy upsampling
+    ("4:2:2", 85, 4),
+    ("4:4:4", 50, 3),
+])
+def test_ycbcr_parity_vs_pil(subsampling, quality, tol):
+    img = _smooth(96, 80)
+    data = _jpeg_bytes(img, quality=quality, subsampling=subsampling)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, iw, ih = _decode(data, 80, 96)
+    assert rc == 0 and (iw, ih) == (80, 96)
+    d = np.abs(ours.astype(int) - pil.astype(int))
+    assert d.max() <= tol, f"max diff {d.max()}"
+    assert d.mean() < 0.5
+
+
+def test_noise_image_parity():
+    # random noise at 4:4:4: every AC coefficient populated, all Huffman
+    # code paths and ZRL runs exercised
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    data = _jpeg_bytes(img, quality=95, subsampling="4:4:4")
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, _, _ = _decode(data, 64, 64)
+    assert rc == 0
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 3
+
+
+def test_grayscale_single_component():
+    img = _smooth(80, 72)[:, :, 0]
+    data = _jpeg_bytes(img, quality=90)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, _, _ = _decode(data, 72, 80)
+    assert rc == 0
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_restart_markers():
+    img = _smooth(128, 120, seed=2)
+    data = _jpeg_bytes(img, quality=92, subsampling="4:2:0",
+                       restart_marker_blocks=2)
+    assert b"\xff\xdd" in data  # DRI present
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, _, _ = _decode(data, 120, 128)
+    assert rc == 0
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 4
+
+
+def test_non_multiple_of_mcu_dimensions():
+    # 67x61 at 4:2:0: partial MCUs on both edges
+    img = _smooth(67, 61, seed=3)
+    data = _jpeg_bytes(img, quality=95, subsampling="4:2:0")
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, iw, ih = _decode(data, 61, 67)
+    assert rc == 0 and (iw, ih) == (61, 67)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 4
+
+
+def test_progressive_rejected_not_decoded():
+    img = _smooth(64, 64)
+    data = _jpeg_bytes(img, quality=90, progressive=True)
+    rc, _, _, _ = _decode(data, 64, 64)
+    assert rc == 4  # kUnsupported -> caller falls back to PIL
+
+
+def test_truncated_scan_rejected():
+    img = _smooth(64, 64)
+    data = _jpeg_bytes(img, quality=90)
+    rc, _, _, _ = _decode(data[: len(data) // 2], 64, 64)
+    assert rc in (3, 7)  # corrupt / decode error, never "success"
+
+
+def test_garbage_rejected():
+    rc, _, _, _ = _decode(b"\xff\xd8" + b"\x00" * 100, 8, 8)
+    assert rc in (3, 7)
+
+
+def test_tiff_jpeg_tiles_decode_natively(tmp_path):
+    """PIL-written JPEG TIFF (RGB component ids + JPEGTables tag): the C
+    tile path must decode it itself — rc 0, not the kJpegTile fallback."""
+    img = _smooth(300, 520, seed=1)
+    path = str(tmp_path / "j.tiff")
+    Image.fromarray(img).save(path, compression="jpeg", quality=95)
+    with TiffSlide(path) as s:
+        assert s.level_info[0]["compression"] == 7
+        assert s.level_info[0]["jpeg_tables_len"] > 0
+        lib = _get_lib()
+        info = s.level_info[0]
+        out = np.empty((info["tile_h"], info["tile_w"], 3), np.uint8)
+        rc = lib.tiff_read_tile(s._h, 0, 0, 0,
+                                out.ctypes.data_as(ctypes.c_char_p))
+        assert rc == 0, f"native JPEG tile decode fell back (rc={rc})"
+        # and it matches the PIL-spliced decode of the same tile
+        pil_tile = s._decode_jpeg_tile(0, 0, 0)
+        assert np.abs(out.astype(int) - pil_tile.astype(int)).max() <= 3
+
+        # full-region read runs on the native thread pool now
+        r = s.read_region(0, 0, 0, 520, 300)
+    err = np.abs(r.astype(np.int16) - img.astype(np.int16)).mean()
+    assert err < 1.0
