@@ -78,6 +78,56 @@ def main() -> None:
         "speedup_vs_pil_1t": round(native_1 / pil, 2),
     }))
 
+    _bench_jpeg_slide(args)
+
+
+def _bench_jpeg_slide(args) -> None:
+    """JPEG-tile slide decode rate: native/jpegdec.cpp via the tiffreader
+    thread pool vs the per-tile PIL splice path it replaced."""
+    import numpy as np
+    from PIL import Image
+
+    from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
+        TiffSlide,
+    )
+
+    side = 2048
+    yy, xx = np.mgrid[0:side, 0:side]
+    img = np.stack([
+        200 + 40 * np.sin(xx / 31.0), 120 + 60 * np.cos(yy / 23.0),
+        180 + 50 * np.sin((xx + yy) / 41.0),
+    ], -1).clip(0, 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "s.tiff")
+        Image.fromarray(img).save(path, compression="jpeg", quality=90)
+        with TiffSlide(path) as s:
+            info = s.level_info[0]
+
+            def native_pass():
+                s.read_region(0, 0, 0, side, side)
+
+            def pil_pass():
+                for ty in range(info["tiles_y"]):
+                    for tx in range(info["tiles_x"]):
+                        s._decode_jpeg_tile(0, tx, ty)
+
+            def best(fn):
+                b = float("inf")
+                for _ in range(args.passes):
+                    t0 = time.perf_counter()
+                    fn()
+                    b = min(b, time.perf_counter() - t0)
+                return side * side / b / 1e6
+
+            native = best(native_pass)
+            pil = best(pil_pass)
+    print(json.dumps({
+        "jpeg_slide_px": side,
+        "native_mp_s": round(native, 1),
+        "pil_mp_s": round(pil, 1),
+        "native_vs_pil": round(native / pil, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
