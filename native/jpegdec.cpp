@@ -59,6 +59,10 @@ struct HuffTable {
       mincode[l] = code;
       code += counts[l - 1];
       k += counts[l - 1];
+      // canonical-code overflow check: a valid table never assigns more
+      // codes at length l than the code space holds (corrupt DHTs
+      // otherwise index past lut[256] below)
+      if (code > (1 << l)) return false;
       maxcode[l] = code - 1;
       if (counts[l - 1] == 0) maxcode[l] = -1;
       code <<= 1;
