@@ -91,20 +91,33 @@ struct BitReader {
   int marker = 0;   // marker byte encountered in the entropy stream (RST/EOI)
   bool overrun = false;
 
-  uint32_t acc = 0;
+  uint64_t acc = 0;  // left-aligned: top `nbits` bits are valid
   int nbits = 0;
 
   explicit BitReader(const uint8_t* data, size_t len)
       : p(data), end(data + len) {}
 
-  // next entropy byte with 0xFF00 stuffing; stops at markers
+  // next entropy bytes with 0xFF00 stuffing; stops at markers.  Fast path
+  // ingests 4 stuff-free bytes at once (0xFF bytes are rare in entropy
+  // data); the serial bit stream is the decoder's critical path.
   void fill() {
-    while (nbits <= 24) {
+    while (nbits <= 56) {
+      if (!marker && nbits <= 32 && end - p >= 4) {
+        uint32_t w;
+        std::memcpy(&w, p, 4);
+        // any byte == 0xFF?  (haszero trick on ~w)
+        uint32_t nw = ~w;
+        if (!((nw - 0x01010101u) & ~nw & 0x80808080u)) {
+          p += 4;
+          acc |= static_cast<uint64_t>(__builtin_bswap32(w)) << (32 - nbits);
+          nbits += 32;
+          continue;
+        }
+      }
       if (marker || p >= end) {
         // past the data: pad with zero bits (T.81 F.2.2.5 allows the
         // final code to be completed with arbitrary bits)
         if (p >= end && !marker) overrun = true;
-        acc |= 0;
         nbits += 8;
         continue;
       }
@@ -114,17 +127,15 @@ struct BitReader {
           ++p;  // stuffed 0xFF data byte
         } else if (p < end) {
           marker = *p;  // leave position at the marker id
-          acc |= 0;
           nbits += 8;
           continue;
         } else {
           overrun = true;
-          acc |= 0;
           nbits += 8;
           continue;
         }
       }
-      acc |= static_cast<uint32_t>(b) << (24 - nbits);
+      acc |= static_cast<uint64_t>(b) << (56 - nbits);
       nbits += 8;
     }
   }
@@ -132,7 +143,7 @@ struct BitReader {
   int get_bits(int n) {  // MSB-first, n <= 16
     if (n == 0) return 0;
     if (nbits < n) fill();
-    int v = static_cast<int>(acc >> (32 - n));
+    int v = static_cast<int>(acc >> (64 - n));
     acc <<= n;
     nbits -= n;
     return v;
@@ -154,7 +165,7 @@ struct BitReader {
 
   int decode_huff(const HuffTable& t) {
     if (nbits < 16) fill();
-    uint16_t e = t.lut[acc >> 24];
+    uint16_t e = t.lut[acc >> 56];
     if (e != 0xFFFF) {
       int l = e >> 8;
       acc <<= l;
@@ -230,6 +241,9 @@ struct Decoder {
         std::memset(out + y * out_stride, v, 8);
       return;
     }
+    // two 8x8 matmul passes (a broadcast-FMA restructure with zero-skip
+    // was measured SLOWER on this core, with and without AVX2 — the
+    // decoder's bottleneck is the serial Huffman bit stream, not this)
     float tmp[64];
     for (int x = 0; x < 8; ++x) {
       for (int v = 0; v < 8; ++v) {
