@@ -89,10 +89,17 @@ struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
   int marker = 0;   // marker byte encountered in the entropy stream (RST/EOI)
-  bool overrun = false;
 
   uint64_t acc = 0;  // left-aligned: top `nbits` bits are valid
   int nbits = 0;
+  // truncation accounting: bits of REAL stream data pushed into acc vs
+  // bits consumed by decoding.  fill() pads phantom zero bits past the
+  // data / a marker (T.81 F.2.2.5 lets the final code complete with
+  // arbitrary bits), which is fine as lookahead — but if decoding ever
+  // CONSUMES beyond the real bits, the stream was truncated mid-scan and
+  // the decoded tail is garbage (consumed > pushed at scan end).
+  int64_t pushed = 0;
+  int64_t consumed = 0;
 
   explicit BitReader(const uint8_t* data, size_t len)
       : p(data), end(data + len) {}
@@ -111,14 +118,12 @@ struct BitReader {
           p += 4;
           acc |= static_cast<uint64_t>(__builtin_bswap32(w)) << (32 - nbits);
           nbits += 32;
+          pushed += 32;
           continue;
         }
       }
       if (marker || p >= end) {
-        // past the data: pad with zero bits (T.81 F.2.2.5 allows the
-        // final code to be completed with arbitrary bits)
-        if (p >= end && !marker) overrun = true;
-        nbits += 8;
+        nbits += 8;  // phantom zero padding — not counted as pushed
         continue;
       }
       uint8_t b = *p++;
@@ -130,13 +135,13 @@ struct BitReader {
           nbits += 8;
           continue;
         } else {
-          overrun = true;
-          nbits += 8;
+          nbits += 8;  // 0xFF at buffer end: treat as phantom
           continue;
         }
       }
       acc |= static_cast<uint64_t>(b) << (56 - nbits);
       nbits += 8;
+      pushed += 8;
     }
   }
 
@@ -146,16 +151,20 @@ struct BitReader {
     int v = static_cast<int>(acc >> (64 - n));
     acc <<= n;
     nbits -= n;
+    consumed += n;
     return v;
   }
 
   int get_bit() { return get_bits(1); }
+
+  bool truncated() const { return consumed > pushed; }
 
   // consume the pending restart marker and realign
   bool take_restart(int expected_rst) {
     if (!marker) fill();  // byte-aligned boundary: the marker is next in p
     acc = 0;
     nbits = 0;
+    consumed = pushed;  // discarded alignment bits: re-sync the accounting
     if (marker < 0xD0 || marker > 0xD7) return false;
     if ((marker & 7) != (expected_rst & 7)) return false;
     ++p;  // step past the marker id (p was left pointing at it)
@@ -170,6 +179,7 @@ struct BitReader {
       int l = e >> 8;
       acc <<= l;
       nbits -= l;
+      consumed += l;
       return e & 0xFF;
     }
     // slow path: codes longer than 8 bits
@@ -211,6 +221,8 @@ struct Decoder {
   int hmax = 1, vmax = 1;
   int restart_interval = 0;
   int adobe_transform = -1;  // APP14 "Adobe" transform byte, -1 = absent
+  int color_hint = -1;       // container hint: 0 = RGB, 1 = YCbCr, -1 = none
+  bool jfif_seen = false;    // APP0 "JFIF": 3-component is YCbCr by spec
 
   // 8x8 IDCT basis: M[x][u] = Cu * cos((2x+1) u pi / 16)
   float basis[8][8];
@@ -397,15 +409,20 @@ struct Decoder {
     // progressive or lossless scan we don't decode)
     const uint8_t* tail = hdr + 1 + 2 * ns;
     if (tail[0] != 0 || tail[1] != 63 || tail[2] != 0) return kUnsupported;
-    if (ns != ncomp && ns != 1) return kUnsupported;  // partial interleave
+    // A scan over a subset of the frame's components is a multi-scan
+    // sequential file; decoding only its first scan would serve tiles
+    // with zeroed chroma, so route those to the PIL fallback instead.
+    if (ns != ncomp) return kUnsupported;
 
     BitReader br(data, data_len);
     int mcux, mcuy;
-    if (ns == ncomp) {
+    if (ns > 1) {
       mcux = (width + 8 * hmax - 1) / (8 * hmax);
       mcuy = (height + 8 * vmax - 1) / (8 * vmax);
     } else {
-      // non-interleaved: MCU = one block of the single component
+      // T.81 A.2: an Ns=1 scan is ALWAYS non-interleaved — one 8x8 block
+      // per MCU over the component's own block grid (matters for
+      // single-component frames declaring sampling factors > 1)
       Component* c = scomp[0];
       int cw = (width * c->h + hmax - 1) / hmax;
       int ch = (height * c->v + vmax - 1) / vmax;
@@ -422,7 +439,7 @@ struct Decoder {
           since_restart = 0;
           for (int i = 0; i < ns; ++i) scomp[i]->dc_pred = 0;
         }
-        if (ns == ncomp) {
+        if (ns > 1) {
           for (int i = 0; i < ns; ++i) {
             Component* c = scomp[i];
             for (int v = 0; v < c->v; ++v)
@@ -438,7 +455,10 @@ struct Decoder {
         ++since_restart;
       }
     }
-    if (br.overrun) return kDecodeError;  // stream truncated mid-scan
+    // phantom bits consumed = the entropy data ended (buffer end OR a
+    // premature EOI) before the MCU grid was fully decoded — the tail
+    // rows would be garbage, so reject instead of reporting success
+    if (br.truncated()) return kDecodeError;
     return kOk;
   }
 
@@ -524,14 +544,20 @@ struct Decoder {
     }
   };
 
-  // libjpeg's (jdmaster.c) color-space heuristic for 3-component streams:
-  // an Adobe APP14 transform byte decides if present; otherwise component
-  // ids 'R','G','B' mean the stream is already RGB (what PIL's TIFF
-  // writer emits for photometric-RGB JPEG), anything else is YCbCr.
+  // Color space for 3-component streams.  In-stream markers win (they
+  // describe the encoder's actual transform): an Adobe APP14 transform
+  // byte, then libjpeg's (jdmaster.c) component-id heuristic — ids
+  // 'R','G','B' mean the stream is already RGB (what PIL's TIFF writer
+  // emits for photometric-RGB JPEG).  With neither, the container's hint
+  // (TIFF PhotometricInterpretation at the tile call site) breaks the
+  // tie; default YCbCr matches libjpeg.
   bool is_rgb() const {
     if (ncomp != 3) return false;
     if (adobe_transform >= 0) return adobe_transform == 0;
-    return comp[0].id == 'R' && comp[1].id == 'G' && comp[2].id == 'B';
+    if (comp[0].id == 'R' && comp[1].id == 'G' && comp[2].id == 'B')
+      return true;
+    if (jfif_seen) return false;  // JFIF fixes YCbCr regardless of hint
+    return color_hint == 0;
   }
 
   void emit_rgb(uint8_t* out, int out_w, int out_h) const {
@@ -637,6 +663,10 @@ struct Decoder {
           if (blen < 2) return kCorrupt;
           restart_interval = (body[0] << 8) | body[1];
           break;
+        case 0xE0:  // APP0: JFIF signature
+          if (blen >= 5 && std::memcmp(body, "JFIF\0", 5) == 0)
+            jfif_seen = true;
+          break;
         case 0xEE:  // APP14: Adobe color-transform flag
           if (blen >= 12 && std::memcmp(body, "Adobe", 5) == 0)
             adobe_transform = body[11];
@@ -663,16 +693,21 @@ extern "C" {
 
 // Decode a (possibly abbreviated) baseline JPEG into an RGB888 buffer of
 // out_w*out_h (zero-padded beyond the image; cropped if larger).  `tables`
-// is the TIFF JPEGTables stream (tag 347) or null.  Returns kOk /
-// kUnsupported (caller should fall back) / kCorrupt / kDecodeError;
-// *img_w / *img_h (optional) receive the stream's own dimensions.
+// is the TIFF JPEGTables stream (tag 347) or null.  `color_hint` is the
+// container's color space for 3-component streams (0 = RGB, 1 = YCbCr,
+// -1 = unknown); in-stream Adobe/component-id markers take precedence.
+// Returns kOk / kUnsupported (caller should fall back) / kCorrupt /
+// kDecodeError; *img_w / *img_h (optional) receive the stream's own
+// dimensions.
 int32_t jpeg_decode_rgb(const uint8_t* tables, int64_t tables_len,
                         const uint8_t* scan, int64_t scan_len,
                         uint8_t* out, int32_t out_w, int32_t out_h,
-                        int32_t* img_w, int32_t* img_h) try {
+                        int32_t* img_w, int32_t* img_h,
+                        int32_t color_hint) try {
   if (!scan || scan_len < 4 || !out || out_w <= 0 || out_h <= 0)
     return kBadArgument;
   Decoder d;
+  d.color_hint = color_hint;
   if (tables && tables_len > 0) {
     int rc = d.parse(tables, static_cast<size_t>(tables_len), true);
     if (rc != kOk) return rc;

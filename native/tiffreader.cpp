@@ -50,7 +50,8 @@
 extern "C" int32_t jpeg_decode_rgb(const uint8_t* tables, int64_t tables_len,
                                    const uint8_t* scan, int64_t scan_len,
                                    uint8_t* out, int32_t out_w, int32_t out_h,
-                                   int32_t* img_w, int32_t* img_h);
+                                   int32_t* img_w, int32_t* img_h,
+                                   int32_t color_hint);
 
 namespace {
 
@@ -428,12 +429,15 @@ int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
     uint32_t idx = ty * lv.tiles_x() + tx;
     std::vector<uint8_t> comp;
     if (!s.read_tile_bytes(lv, idx, comp)) return kCorrupt;
+    // the TIFF photometric tag is the container's color-space claim
+    // (2 = RGB, 6 = YCbCr); in-stream markers still take precedence
+    int32_t hint = lv.photometric == 2 ? 0 : (lv.photometric == 6 ? 1 : -1);
     int32_t rc = jpeg_decode_rgb(
         lv.jpeg_tables.empty() ? nullptr : lv.jpeg_tables.data(),
         static_cast<int64_t>(lv.jpeg_tables.size()), comp.data(),
         static_cast<int64_t>(comp.size()), dst,
         static_cast<int32_t>(lv.tile_w), static_cast<int32_t>(lv.tile_h),
-        nullptr, nullptr);
+        nullptr, nullptr, hint);
     return rc == kOk ? kOk : kJpegTile;
   }
   if (lv.compression != 1 && lv.compression != 5 && lv.compression != 8 &&

@@ -122,6 +122,7 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
         ]
         _lib = lib
         return _lib
@@ -131,8 +132,9 @@ class TiffSlide:
     """A pyramidal (Big)TIFF slide.
 
     ``levels`` are sorted full-resolution-first.  ``read_region`` and
-    ``read_tile`` return uint8 RGB arrays; JPEG-compressed tiles decode via
-    PIL from the raw byte stream (spliced with the level's JPEGTables)."""
+    ``read_tile`` return uint8 RGB arrays; JPEG-compressed tiles decode
+    natively (``native/jpegdec.cpp``), with PIL splicing the level's
+    JPEGTables as the fallback for out-of-scope streams."""
 
     def __init__(self, path: str) -> None:
         lib = _get_lib()
@@ -141,6 +143,9 @@ class TiffSlide:
         if not self._h:
             raise IOError(f"cannot open TIFF slide: {path}")
         self.path = path
+        # levels whose JPEG streams the native decoder rejected once —
+        # skip the doomed (and wasted) native region attempt thereafter
+        self._pil_levels: set = set()
         self.level_info: List[dict] = []
         for lv in range(lib.tiff_levels(self._h)):
             info = (ctypes.c_int64 * 8)()
@@ -246,12 +251,15 @@ class TiffSlide:
         """Arbitrary (x, y, w, h) region of ``level`` as (h, w, 3) uint8,
         zero-filled outside the image."""
         info = self.level_info[level]
-        out = np.empty((h, w, 3), np.uint8)
-        rc = self._lib.tiff_read_region(
-            self._h, level, x, y, w, h,
-            out.ctypes.data_as(ctypes.c_char_p),
-        )
+        rc = _JPEG_TILE
+        if level not in self._pil_levels:
+            out = np.empty((h, w, 3), np.uint8)
+            rc = self._lib.tiff_read_region(
+                self._h, level, x, y, w, h,
+                out.ctypes.data_as(ctypes.c_char_p),
+            )
         if rc == _JPEG_TILE:
+            self._pil_levels.add(level)
             # a JPEG stream outside the native decoder's scope
             # (progressive/CMYK/12-bit): assemble tile-by-tile, each tile
             # preferring native and falling back to PIL individually

@@ -841,9 +841,27 @@ def _convert_smp_with_moments(sd, ckpt, model_name: str, params, batch_stats):
             sd, params, batch_stats)
     finally:
         _GraftRecorder._active = None
+    unresolved = [k for k, e in rec.entries.items() if e[3] is None]
+    if unresolved:
+        raise KeyError(
+            f"graft recorder could not resolve tree paths for {unresolved} "
+            "— a converter grafted outside the recorded helpers?")
     mapping = {k: (e[3], _MOMENT_TRANSFORMS[e[2]])
-               for k, e in rec.entries.items() if e[3] is not None}
-    mu, nu, count = _convert_optimizer_state(ckpt, params, mapping.get)
+               for k, e in rec.entries.items()}
+
+    def path_fn(name: str):
+        try:
+            return mapping[name]
+        except KeyError:
+            # a torch param that HAS Adam state but no recorded graft means
+            # the weight converter placed it outside the _graft_* helpers —
+            # silently cold moments are exactly the drift the recorder
+            # exists to prevent, so fail loudly instead
+            raise KeyError(
+                f"no recorded graft for torch param {name!r} "
+                f"({model_name} converter drift)") from None
+
+    mu, nu, count = _convert_optimizer_state(ckpt, params, path_fn)
     return params, batch_stats, mu, nu, count
 
 

@@ -18,14 +18,14 @@ from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
 _JPEG_TILE = 6  # tiffreader.cpp kJpegTile: "fall back to PIL"
 
 
-def _decode(data, w, h, tables=b""):
+def _decode(data, w, h, tables=b"", hint=-1):
     lib = _get_lib()
     out = np.zeros((h, w, 3), np.uint8)
     iw, ih = ctypes.c_int32(0), ctypes.c_int32(0)
     rc = lib.jpeg_decode_rgb(
         tables or None, len(tables), data, len(data),
         out.ctypes.data_as(ctypes.c_char_p), w, h,
-        ctypes.byref(iw), ctypes.byref(ih))
+        ctypes.byref(iw), ctypes.byref(ih), hint)
     return rc, out, iw.value, ih.value
 
 
@@ -183,3 +183,51 @@ def test_fuzz_mutated_streams_never_crash():
         rc, _, _, _ = _decode(bytes(seeds[0]), 64, 64,
                               tables=b"\xff\xd8" + t + b"\xff\xd9")
         assert rc in (0, 3, 4, 5, 7)
+
+
+def test_partial_scan_rejected_for_fallback():
+    """A multi-scan sequential stream (SOS over 1 of 3 frame components)
+    must return kUnsupported (PIL fallback), never decode one scan and
+    report success with zeroed chroma."""
+    img = _smooth(96, 80)
+    d = bytearray(_jpeg_bytes(img, quality=90, subsampling="4:4:4"))
+    sos = bytes(d).find(b"\xff\xda")
+    ln = (d[sos + 2] << 8) | d[sos + 3]
+    hdr = d[sos + 4:sos + 2 + ln]
+    new_sos = b"\xff\xda\x00\x08\x01" + bytes(hdr[1:3]) + b"\x00\x3f\x00"
+    d3 = bytes(d[:sos]) + new_sos + bytes(d[sos + 2 + ln:])
+    rc, _, _, _ = _decode(d3, 80, 96)
+    assert rc == 4
+
+
+def test_truncation_before_eoi_rejected():
+    """Entropy data cut short but with an intact EOI marker: phantom-bit
+    accounting must flag it instead of serving garbage tail rows as OK."""
+    img = _smooth(96, 80)
+    d = _jpeg_bytes(img, quality=90)
+    sos = d.find(b"\xff\xda")
+    cut = sos + (len(d) - sos) // 2
+    rc, _, _, _ = _decode(d[:cut] + b"\xff\xd9", 80, 96)
+    assert rc in (3, 7)
+
+
+def test_color_hint_semantics():
+    """TIFF-photometric hint: breaks the tie for markerless streams, but
+    in-stream evidence (JFIF / component ids) takes precedence."""
+    img = _smooth(96, 80)
+    d = _jpeg_bytes(img, quality=90)  # PIL: JFIF APP0, ids 1,2,3, YCbCr
+    pil = np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
+    for hint in (-1, 0, 1):  # JFIF wins: every hint decodes as YCbCr
+        rc, ours, _, _ = _decode(d, 80, 96, hint=hint)
+        assert rc == 0
+        assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 3, hint
+
+    # strip the JFIF APP0 -> markerless ids-1,2,3 stream: hint decides
+    app0 = d.find(b"\xff\xe0")
+    ln = (d[app0 + 2] << 8) | d[app0 + 3]
+    bare = d[:app0] + d[app0 + 2 + ln:]
+    rc1, as_ycc, _, _ = _decode(bare, 80, 96, hint=1)
+    rc0, as_rgb, _, _ = _decode(bare, 80, 96, hint=0)
+    assert rc1 == 0 and rc0 == 0
+    assert np.abs(as_ycc.astype(int) - pil.astype(int)).max() <= 3
+    assert np.abs(as_rgb.astype(int) - pil.astype(int)).max() > 20
