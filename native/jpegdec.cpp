@@ -1,11 +1,13 @@
-// Baseline-JPEG decoder for TIFF tile payloads (SURVEY.md N5: the
-// openslide replacement).  Scope: baseline/extended sequential DCT
-// (SOF0/SOF1), 8-bit samples, 1- or 3-component scans, interleaved or
-// single-component, restart markers, and TIFF's abbreviated datastreams
-// (tag 347 JPEGTables parsed first, then the per-tile SOI..SOS..EOI
-// stream — the layout Aperio .svs and QuPath exports use).  Progressive,
-// arithmetic-coded, 12-bit and CMYK streams return kUnsupported and the
-// Python caller falls back to PIL (data/tiffslide.py).
+// JPEG decoder for TIFF tile payloads (SURVEY.md N5: the openslide
+// replacement).  Scope: baseline/extended sequential DCT (SOF0/SOF1)
+// AND progressive DCT (SOF2, spectral selection + successive
+// approximation), 8-bit samples, 1- or 3-component, interleaved or
+// per-component scans, restart markers, and TIFF's abbreviated
+// datastreams (tag 347 JPEGTables parsed first, then the per-tile
+// SOI..SOS..EOI stream — the layout Aperio .svs and QuPath exports use).
+// Arithmetic-coded, lossless, 12-bit and CMYK streams return
+// kUnsupported and the Python caller falls back to PIL
+// (data/tiffslide.py).
 //
 // Purpose-written for this repo: float matrix IDCT (two 8x8 matmuls per
 // block — accuracy over table tricks; diffs vs libjpeg's islow are <=1
@@ -209,6 +211,11 @@ struct Component {
   std::vector<uint8_t> plane;
   int plane_w = 0, plane_h = 0;
   int samp_w = 0, samp_h = 0;  // valid sample extent (ceil(W*h/hmax) etc.)
+  // progressive mode: per-block coefficients in ZIGZAG order, accumulated
+  // across scans and dequantized+IDCTed at EOI (int32: successive
+  // approximation shifts can exceed int16 on hostile streams)
+  std::vector<int32_t> coefs;
+  int blocks_w = 0, blocks_h = 0;
 };
 
 struct Decoder {
@@ -223,6 +230,9 @@ struct Decoder {
   int adobe_transform = -1;  // APP14 "Adobe" transform byte, -1 = absent
   int color_hint = -1;       // container hint: 0 = RGB, 1 = YCbCr, -1 = none
   bool jfif_seen = false;    // APP0 "JFIF": 3-component is YCbCr by spec
+  bool progressive = false;  // SOF2: coefficients accumulate across scans
+  bool scan_seen = false;
+  int eobrun = 0;            // progressive AC end-of-band run counter
 
   // 8x8 IDCT basis: M[x][u] = Cu * cos((2x+1) u pi / 16)
   float basis[8][8];
@@ -381,6 +391,13 @@ struct Decoder {
           static_cast<size_t>(comp[i].plane_w) * comp[i].plane_h, 0);
       comp[i].samp_w = (width * comp[i].h + hmax - 1) / hmax;
       comp[i].samp_h = (height * comp[i].v + vmax - 1) / vmax;
+      if (progressive) {
+        comp[i].blocks_w = mcux * comp[i].h;
+        comp[i].blocks_h = mcuy * comp[i].v;
+        comp[i].coefs.assign(static_cast<size_t>(comp[i].blocks_w) *
+                                 comp[i].blocks_h * 64,
+                             0);
+      }
     }
     return kOk;
   }
@@ -459,6 +476,220 @@ struct Decoder {
     // premature EOI) before the MCU grid was fully decoded — the tail
     // rows would be garbage, so reject instead of reporting success
     if (br.truncated()) return kDecodeError;
+    return kOk;
+  }
+
+  // ---- progressive mode (SOF2, T.81 G): spectral selection +
+  // successive approximation.  Each scan deposits/refines coefficients in
+  // the per-component zigzag buffers; finalize_progressive() runs the
+  // dequant + IDCT once at EOI.
+
+  int prog_dc_block(BitReader& br, Component& c, int bx, int by, int Ah,
+                    int Al) {
+    if (bx >= c.blocks_w || by >= c.blocks_h) return kCorrupt;
+    int32_t* blk =
+        &c.coefs[(static_cast<size_t>(by) * c.blocks_w + bx) * 64];
+    if (Ah == 0) {  // first DC scan: Huffman diff, shifted by Al
+      const HuffTable& dct = dc[c.td];
+      if (!dct.present) return kCorrupt;
+      int t = br.decode_huff(dct);
+      if (t < 0 || t > 15) return kDecodeError;
+      c.dc_pred += extend(br.get_bits(t), t);
+      blk[0] = c.dc_pred * (1 << Al);
+    } else {  // refinement: one bit per block (T.81 G.1.2.1)
+      if (br.get_bit()) blk[0] |= (1 << Al);
+    }
+    return kOk;
+  }
+
+  int prog_ac_block(BitReader& br, Component& c, int bx, int by, int Ss,
+                    int Se, int Ah, int Al) {
+    if (bx >= c.blocks_w || by >= c.blocks_h) return kCorrupt;
+    int32_t* blk =
+        &c.coefs[(static_cast<size_t>(by) * c.blocks_w + bx) * 64];
+    const HuffTable& act = ac[c.ta];
+    if (!act.present) return kCorrupt;
+
+    if (Ah == 0) {  // first pass for this band (T.81 G.1.2.2)
+      if (eobrun > 0) {
+        --eobrun;
+        return kOk;
+      }
+      int k = Ss;
+      while (k <= Se) {
+        int rs = br.decode_huff(act);
+        if (rs < 0) return kDecodeError;
+        int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+          if (r == 15) {  // ZRL
+            k += 16;
+            continue;
+          }
+          eobrun = (1 << r) - 1;
+          if (r) eobrun += br.get_bits(r);
+          break;
+        }
+        k += r;
+        if (k > Se) return kDecodeError;
+        blk[k] = extend(br.get_bits(s), s) * (1 << Al);
+        ++k;
+      }
+      return kOk;
+    }
+
+    // refinement pass (T.81 G.1.2.3): correction bits on known-nonzero
+    // coefficients, ±1<<Al insertions at newly significant positions
+    const int p1 = 1 << Al, m1 = -(1 << Al);
+    int k = Ss;
+    if (eobrun == 0) {
+      while (k <= Se) {
+        int rs = br.decode_huff(act);
+        if (rs < 0) return kDecodeError;
+        int r = rs >> 4, s = rs & 15;
+        int val = 0;
+        if (s == 0) {
+          if (r < 15) {
+            // EOB: the count INCLUDES the current block — its remaining
+            // band still receives correction bits below, then eobrun--
+            eobrun = (1 << r);
+            if (r) eobrun += br.get_bits(r);
+            break;
+          }
+          // r == 15: skip 16 zero-history coefficients, inserting nothing
+        } else {
+          if (s != 1) return kDecodeError;  // refinement emits only ±1
+          val = br.get_bit() ? p1 : m1;
+        }
+        while (k <= Se) {
+          int32_t& cf = blk[k];
+          if (cf != 0) {
+            if (br.get_bit() && (cf & p1) == 0) cf += (cf >= 0) ? p1 : m1;
+          } else {
+            if (r == 0) {
+              if (s) cf = val;
+              ++k;
+              break;
+            }
+            --r;
+          }
+          ++k;
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // inside an EOB run: correction bits only, for every nonzero left
+      while (k <= Se) {
+        int32_t& cf = blk[k];
+        if (cf != 0 && br.get_bit() && (cf & p1) == 0)
+          cf += (cf >= 0) ? p1 : m1;
+        ++k;
+      }
+      --eobrun;
+    }
+    return kOk;
+  }
+
+  int decode_scan_prog(const uint8_t* hdr, int hdr_len, const uint8_t* data,
+                       size_t data_len) {
+    if (hdr_len < 4) return kCorrupt;
+    int ns = hdr[0];
+    if (ns < 1 || ns > 4 || hdr_len < 1 + 2 * ns + 3) return kCorrupt;
+    Component* scomp[4];
+    for (int i = 0; i < ns; ++i) {
+      int cid = hdr[1 + 2 * i];
+      int tbl = hdr[2 + 2 * i];
+      Component* c = nullptr;
+      for (int j = 0; j < ncomp; ++j)
+        if (comp[j].id == cid) c = &comp[j];
+      if (!c) return kCorrupt;
+      c->td = tbl >> 4;
+      c->ta = tbl & 15;
+      if (c->td > 3 || c->ta > 3) return kCorrupt;
+      scomp[i] = c;
+    }
+    const uint8_t* tail = hdr + 1 + 2 * ns;
+    int Ss = tail[0], Se = tail[1];
+    int Ah = tail[2] >> 4, Al = tail[2] & 15;
+    if (Ss > 63 || Se > 63 || Se < Ss || Al > 13 || Ah > 13) return kCorrupt;
+    const bool dc_scan = (Ss == 0);
+    if (dc_scan && Se != 0) return kCorrupt;  // T.81 G.1.1.1.1
+    if (!dc_scan && ns != 1) return kCorrupt;  // AC scans: one component
+    eobrun = 0;
+    for (int i = 0; i < ns; ++i) scomp[i]->dc_pred = 0;
+
+    BitReader br(data, data_len);
+    int mcux, mcuy;
+    if (dc_scan && ns > 1) {
+      mcux = (width + 8 * hmax - 1) / (8 * hmax);
+      mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+    } else {  // non-interleaved: the component's own block grid
+      Component* c = scomp[0];
+      int cw = (width * c->h + hmax - 1) / hmax;
+      int ch = (height * c->v + vmax - 1) / vmax;
+      mcux = (cw + 7) / 8;
+      mcuy = (ch + 7) / 8;
+    }
+
+    int rst = 0, since_restart = 0;
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (restart_interval && since_restart == restart_interval) {
+          if (!br.take_restart(rst)) return kDecodeError;
+          rst = (rst + 1) & 7;
+          since_restart = 0;
+          eobrun = 0;
+          for (int i = 0; i < ns; ++i) scomp[i]->dc_pred = 0;
+        }
+        int rc = kOk;
+        if (dc_scan && ns > 1) {
+          for (int i = 0; i < ns && rc == kOk; ++i) {
+            Component* c = scomp[i];
+            for (int v = 0; v < c->v && rc == kOk; ++v)
+              for (int hh = 0; hh < c->h && rc == kOk; ++hh)
+                rc = prog_dc_block(br, *c, mx * c->h + hh, my * c->v + v,
+                                   Ah, Al);
+          }
+        } else if (dc_scan) {
+          rc = prog_dc_block(br, *scomp[0], mx, my, Ah, Al);
+        } else {
+          rc = prog_ac_block(br, *scomp[0], mx, my, Ss, Se, Ah, Al);
+        }
+        if (rc != kOk) return rc;
+        ++since_restart;
+      }
+    }
+    if (br.truncated()) return kDecodeError;
+    scan_seen = true;
+    return kOk;
+  }
+
+  int finalize_progressive() {
+    if (ncomp == 0 || !scan_seen) return kCorrupt;
+    for (int i = 0; i < ncomp; ++i) {
+      Component& c = comp[i];
+      if (c.coefs.empty() || !qt_present[c.tq]) return kCorrupt;
+      const uint16_t* q = qt[c.tq];
+      for (int by = 0; by < c.blocks_h; ++by) {
+        for (int bx = 0; bx < c.blocks_w; ++bx) {
+          const int32_t* blk =
+              &c.coefs[(static_cast<size_t>(by) * c.blocks_w + bx) * 64];
+          float F[64];
+          std::memset(F, 0, sizeof(F));
+          F[0] = static_cast<float>(blk[0] * static_cast<int32_t>(q[0]));
+          int n_ac = 0;
+          for (int k = 1; k < 64; ++k)
+            if (blk[k]) {
+              F[kZigzag[k]] =
+                  static_cast<float>(blk[k] * static_cast<int32_t>(q[k]));
+              ++n_ac;
+            }
+          idct_block(F, n_ac,
+                     c.plane.data() +
+                         (static_cast<size_t>(by) * 8 * c.plane_w + bx * 8),
+                     c.plane_w);
+        }
+      }
+    }
     return kOk;
   }
 
@@ -644,7 +875,13 @@ struct Decoder {
       while (pos < len && p[pos] == 0xFF) ++pos;  // fill bytes
       if (pos >= len) return kCorrupt;
       uint8_t m = p[pos++];
-      if (m == 0xD9) return kOk;  // EOI
+      if (m == 0xD9) {  // EOI
+        if (is_tables) return kOk;
+        // a sequential image stream returns from the SOS case below, so
+        // reaching EOI here means either a progressive stream to finalize
+        // or an image with no scan at all (corrupt)
+        return progressive ? finalize_progressive() : kCorrupt;
+      }
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;  // TEM/RSTn: bare
       if (pos + 2 > len) return kCorrupt;
       int seg = (p[pos] << 8) | p[pos + 1];
@@ -656,9 +893,13 @@ struct Decoder {
         case 0xDB: rc = parse_dqt(body, blen); break;
         case 0xC4: rc = parse_dht(body, blen); break;
         case 0xC0: case 0xC1: rc = parse_sof(body, blen); break;
-        case 0xC2: case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+        case 0xC2:  // progressive DCT
+          progressive = true;
+          rc = parse_sof(body, blen);
+          break;
+        case 0xC3: case 0xC5: case 0xC6: case 0xC7:
         case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
-          return kUnsupported;  // progressive/lossless/arithmetic
+          return kUnsupported;  // lossless/arithmetic/differential
         case 0xDD:
           if (blen < 2) return kCorrupt;
           restart_interval = (body[0] << 8) | body[1];
@@ -674,9 +915,23 @@ struct Decoder {
         case 0xDA: {
           if (is_tables || ncomp == 0) return kCorrupt;
           const uint8_t* entropy = body + blen;
-          rc = decode_scan(body, blen, entropy,
-                           static_cast<size_t>(len - (entropy - p)));
-          return rc;  // single-scan sequential: done after SOS
+          size_t elen = static_cast<size_t>(len - (entropy - p));
+          if (!progressive)
+            return decode_scan(body, blen, entropy, elen);  // single scan
+          rc = decode_scan_prog(body, blen, entropy, elen);
+          if (rc != kOk) return rc;
+          // step over the entropy data to the next true marker (skipping
+          // 0xFF00 stuffing and RSTn), then keep parsing scans
+          size_t q = static_cast<size_t>(entropy - p);
+          while (q + 1 < len) {
+            if (p[q] == 0xFF && p[q + 1] != 0x00 &&
+                !(p[q + 1] >= 0xD0 && p[q + 1] <= 0xD7))
+              break;
+            ++q;
+          }
+          if (q + 1 >= len) return kCorrupt;
+          pos = q;
+          continue;
         }
         default: break;  // APPn / COM / DNL: skip
       }

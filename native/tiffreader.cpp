@@ -424,7 +424,7 @@ int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
   if (lv.bits != 8 || lv.planar != 1) return kUnsupported;
   if (lv.compression == 7) {
     // baseline JPEG decodes in-repo (native/jpegdec.cpp); kJpegTile only
-    // for streams it can't handle (progressive/CMYK/12-bit), which the
+    // for streams it cannot handle (arithmetic/lossless/CMYK/12-bit); the
     // Python caller routes to PIL
     uint32_t idx = ty * lv.tiles_x() + tx;
     std::vector<uint8_t> comp;

@@ -8,7 +8,7 @@ decodes deflate/LZW/uncompressed/**baseline-JPEG** tiles on a thread pool
 straight into NHWC uint8 buffers.  JPEG tiles (the SVS layout: shared
 Huffman/quant tables in the ``JPEGTables`` tag, per-tile abbreviated
 scans) decode in-repo too (``native/jpegdec.cpp``); only streams outside
-its scope (progressive/CMYK/12-bit) fall back to PIL per tile.
+its scope (arithmetic/lossless/CMYK/12-bit) fall back to PIL per tile.
 
 The library auto-builds with ``g++`` on first use (artifact keyed by a
 source hash so stale binaries never shadow source changes — same hygiene as
@@ -261,7 +261,7 @@ class TiffSlide:
         if rc == _JPEG_TILE:
             self._pil_levels.add(level)
             # a JPEG stream outside the native decoder's scope
-            # (progressive/CMYK/12-bit): assemble tile-by-tile, each tile
+            # (arithmetic/lossless/CMYK/12-bit): assemble tile-by-tile, each tile
             # preferring native and falling back to PIL individually
             out = np.zeros((h, w, 3), np.uint8)
             tw, th = info["tile_w"], info["tile_h"]

@@ -103,11 +103,40 @@ def test_non_multiple_of_mcu_dimensions():
     assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 4
 
 
-def test_progressive_rejected_not_decoded():
-    img = _smooth(64, 64)
+@pytest.mark.parametrize("subsampling,quality", [
+    ("4:4:4", 90), ("4:2:0", 85), ("4:2:2", 95),
+])
+def test_progressive_parity_vs_pil(subsampling, quality):
+    """Progressive (SOF2) streams decode natively: spectral-selection +
+    successive-approximation scans accumulate into coefficient buffers,
+    IDCT at EOI."""
+    img = _smooth(96, 80, seed=4)
+    data = _jpeg_bytes(img, quality=quality, progressive=True,
+                       subsampling=subsampling)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, iw, ih = _decode(data, 80, 96)
+    assert rc == 0 and (iw, ih) == (80, 96)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 4
+
+
+def test_progressive_grayscale_exact():
+    img = _smooth(80, 72)[:, :, 0]
     data = _jpeg_bytes(img, quality=90, progressive=True)
-    rc, _, _, _ = _decode(data, 64, 64)
-    assert rc == 4  # kUnsupported -> caller falls back to PIL
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rc, ours, _, _ = _decode(data, 72, 80)
+    assert rc == 0
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_12bit_rejected_for_fallback():
+    """Out-of-scope precision must still route to PIL: rewrite a baseline
+    stream's SOF precision byte to 12."""
+    img = _smooth(64, 64)
+    d = bytearray(_jpeg_bytes(img, quality=90))
+    sof = bytes(d).find(b"\xff\xc0")
+    d[sof + 4] = 12  # precision field
+    rc, _, _, _ = _decode(bytes(d), 64, 64)
+    assert rc == 4
 
 
 def test_truncated_scan_rejected():
@@ -161,6 +190,8 @@ def test_fuzz_mutated_streams_never_crash():
         bytearray(_jpeg_bytes(img, quality=90, subsampling="4:2:0")),
         bytearray(_jpeg_bytes(img, quality=50, subsampling="4:2:2",
                               restart_marker_blocks=2)),
+        bytearray(_jpeg_bytes(img, quality=85, progressive=True,
+                              subsampling="4:2:0")),
     ]
     for _ in range(300):
         s = bytearray(rng.choice(seeds))
