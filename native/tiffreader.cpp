@@ -15,9 +15,10 @@
 //     IFDs — strips are exposed as width×rows_per_strip virtual tiles;
 //   * compression: 1 (none), 8 / 32946 (zlib deflate), 5 (TIFF LZW with
 //     early-change), each with predictor 1 (none) or 2 (horizontal
-//     differencing); compression 7 (JPEG) is not decoded here — the raw
-//     tile bytes + the JPEGTables tag are handed to Python, which splices
-//     and decodes them with PIL (abbreviated-JPEG datastreams);
+//     differencing); 7 (JPEG) decodes in-repo via native/jpegdec.cpp
+//     (sequential + progressive, JPEGTables abbreviated streams) with a
+//     raw-byte handoff to Python/PIL for out-of-scope streams; 33003 /
+//     33005 (Aperio JPEG2000) hand their raw codestreams to PIL/openjpeg;
 //   * 8-bit samples, PlanarConfig 1 (chunky), SamplesPerPixel 1/3/4
 //     (gray replicated, RGBA alpha dropped), photometric 0/1/2.
 //
@@ -439,6 +440,11 @@ int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
         static_cast<int32_t>(lv.tile_w), static_cast<int32_t>(lv.tile_h),
         nullptr, nullptr, hint);
     return rc == kOk ? kOk : kJpegTile;
+  }
+  if (lv.compression == 33003 || lv.compression == 33005) {
+    // Aperio JPEG2000 tiles (YCbCr / RGB flavors): raw-codestream handoff
+    // — the Python wrapper decodes them with PIL/openjpeg per tile
+    return kJpegTile;
   }
   if (lv.compression != 1 && lv.compression != 5 && lv.compression != 8 &&
       lv.compression != 32946)

@@ -214,16 +214,21 @@ class TiffSlide:
         return buf.raw[: cap.value]
 
     def _decode_jpeg_tile(self, level: int, tx: int, ty: int) -> np.ndarray:
+        """PIL fallback for tiles the native decoder hands off: JPEG streams
+        outside its scope, and Aperio JPEG2000 (33003/33005) codestreams."""
         from PIL import Image
 
         info = self.level_info[level]
         data = self._tile_raw(level, tx, ty)
-        tables = self._jpeg_tables(level)
-        if tables:
-            # abbreviated JPEG: tables stream is SOI..tables..EOI, the tile
-            # stream is SOI..scan..EOI — splice tables after the tile's SOI
-            body = tables[2:-2] if tables[-2:] == b"\xff\xd9" else tables[2:]
-            data = data[:2] + body + data[2:]
+        if info["compression"] == 7:
+            tables = self._jpeg_tables(level)
+            if tables:
+                # abbreviated JPEG: tables stream is SOI..tables..EOI, the
+                # tile stream is SOI..scan..EOI — splice the tables after
+                # the tile's SOI
+                body = (tables[2:-2] if tables[-2:] == b"\xff\xd9"
+                        else tables[2:])
+                data = data[:2] + body + data[2:]
         img = Image.open(io.BytesIO(data)).convert("RGB")
         arr = np.asarray(img, dtype=np.uint8)
         th, tw = info["tile_h"], info["tile_w"]

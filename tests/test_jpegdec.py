@@ -262,3 +262,45 @@ def test_color_hint_semantics():
     assert rc1 == 0 and rc0 == 0
     assert np.abs(as_ycc.astype(int) - pil.astype(int)).max() <= 3
     assert np.abs(as_rgb.astype(int) - pil.astype(int)).max() > 20
+
+
+def test_aperio_jpeg2000_tiles_fall_back_to_pil(tmp_path):
+    """Aperio SVS J2K tiles (compression 33005): the native reader hands
+    the raw codestream to PIL/openjpeg per tile instead of erroring."""
+    import struct
+
+    img = _smooth(48, 64, seed=6)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG2000", quality_mode="lossless")
+    payload = buf.getvalue()
+
+    # minimal classic little-endian TIFF: one strip, compression 33005
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd_off = 8
+    n_entries = 9
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    ifd = b"".join([
+        entry(256, 4, 1, 64),          # width
+        entry(257, 4, 1, 48),          # height
+        entry(258, 3, 1, 8),           # bits per sample (count 1: all 8)
+        entry(259, 3, 1, 33005),       # Aperio J2K RGB
+        entry(262, 3, 1, 2),           # photometric RGB
+        entry(273, 4, 1, data_off),    # strip offset
+        entry(277, 3, 1, 3),           # samples per pixel
+        entry(278, 4, 1, 48),          # rows per strip
+        entry(279, 4, 1, len(payload)),  # strip byte count
+    ])
+    tiff = (b"II*\0" + struct.pack("<I", ifd_off)
+            + struct.pack("<H", n_entries) + ifd + struct.pack("<I", 0)
+            + payload)
+    path = tmp_path / "j2k.tiff"
+    path.write_bytes(tiff)
+
+    with TiffSlide(str(path)) as s:
+        assert s.level_info[0]["compression"] == 33005
+        tile = s.read_tile(0, 0, 0)
+        region = s.read_region(0, 0, 0, 64, 48)
+    np.testing.assert_array_equal(tile[:48, :64], img)  # lossless J2K
+    np.testing.assert_array_equal(region, img)
