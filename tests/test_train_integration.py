@@ -117,3 +117,53 @@ def test_training_is_deterministic(data_root, tmp_path_factory):
         result = Trainer(cfg, str(save), train_set, val_set).train()
         scores.append(result["history"][0]["train_loss"])
     assert scores[0] == scores[1]
+
+
+def test_trainer_warm_resumes_from_reference_pth(data_root, tmp_path):
+    """Trainer-level reference-resume contract (train_worker.py:186-201):
+    a torch-format latest.pth in save_path/pth is picked up for an smp
+    model too — weights AND Adam moments — and training continues from
+    epoch+1."""
+    import optax
+    import torch
+
+    from test_fpn_golden import _TorchSmpFPN
+
+    torch.manual_seed(9)
+    tmodel = _TorchSmpFPN().train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+    x = torch.randn(2, 3, 64, 64)
+    loss = tmodel(x).square().mean()
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+
+    save = tmp_path / "run"
+    (save / "pth").mkdir(parents=True)
+    torch.save({
+        "model": {f"module.{k}": v for k, v in tmodel.state_dict().items()},
+        "optimizer": opt.state_dict(),
+        "epoch": 0,
+        "previous_best": 0.12,
+    }, save / "pth" / "latest.pth")
+
+    cfg = _cfg(model="fpn", epochs=2,
+               train_path=str(data_root / "train"),
+               val_path=str(data_root / "val"))
+    train_set = PatchDataset(*discover_split(cfg.train_path), cfg)
+    val_set = PatchDataset(*discover_split(cfg.val_path), cfg)
+    trainer = Trainer(cfg, str(save), train_set, val_set)
+
+    adams = [
+        n for n in jax.tree_util.tree_leaves(
+            trainer.state.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        if isinstance(n, optax.ScaleByAdamState)
+    ]
+    assert all(int(a.count) == 0 for a in adams)
+
+    result = trainer.train()
+    # resumed at epoch 1 (0-based): only epoch index 1 actually ran
+    assert len(result["history"]) == 1
+    assert result["history"][0]["epoch"] == 1
+    assert result["best_val_score"] >= 0.12  # previous_best restored
