@@ -44,6 +44,7 @@
 #include <mutex>
 #include <queue>
 #include <string>
+#include <unordered_map>
 #include <thread>
 #include <vector>
 
@@ -292,6 +293,21 @@ struct Slide {
   std::vector<Level> levels;  // sorted by width desc
   std::mutex io_mu;           // file reads are serialized; decode is parallel
 
+  // LRU cache of DECODED tiles: sliding-window inference reads overlapping
+  // regions (stride < window), so the same stored tile is otherwise
+  // decoded up to ~4x at stride=tile (boundary misalignment) and ~9x at
+  // 2x overlap.  Decoding happens outside the lock (a racing pair may
+  // decode the same tile twice; the second insert wins — harmless).
+  struct CachedTile {
+    std::vector<uint8_t> rgb;
+    uint64_t stamp = 0;
+  };
+  std::mutex cache_mu;
+  std::unordered_map<uint64_t, CachedTile> tile_cache;
+  uint64_t cache_stamp = 0;
+  size_t cache_bytes = 0;
+  static constexpr size_t kCacheCapBytes = 64ull << 20;  // 64 MiB
+
   // Per-tile compressed-size cap: a corrupt byte count must not drive a
   // multi-GiB resize (bad_alloc across the C ABI).  Derived from the
   // tile's own decoded size rather than a fixed constant, because
@@ -519,6 +535,41 @@ int decode_tile(Slide& s, Level& lv, uint32_t tx, uint32_t ty, uint8_t* dst) {
   return kOk;
 }
 
+// decode_tile through the slide's LRU cache of decoded tiles
+int decode_tile_cached(Slide& s, int level_idx, Level& lv, uint32_t tx,
+                       uint32_t ty, uint8_t* dst) {
+  const size_t n = static_cast<size_t>(lv.tile_w) * lv.tile_h * 3;
+  const uint64_t key = (static_cast<uint64_t>(level_idx) << 56) |
+                       (static_cast<uint64_t>(ty) << 28) | tx;
+  {
+    std::lock_guard<std::mutex> lk(s.cache_mu);
+    auto it = s.tile_cache.find(key);
+    if (it != s.tile_cache.end() && it->second.rgb.size() == n) {
+      it->second.stamp = ++s.cache_stamp;
+      std::memcpy(dst, it->second.rgb.data(), n);
+      return kOk;
+    }
+  }
+  int rc = decode_tile(s, lv, tx, ty, dst);
+  // oversized tiles (e.g. one giant uncompressed strip) would immediately
+  // evict the whole cache for a single entry — skip those
+  if (rc == kOk && n <= Slide::kCacheCapBytes / 4) {
+    std::lock_guard<std::mutex> lk(s.cache_mu);
+    auto& e = s.tile_cache[key];
+    if (e.rgb.empty()) s.cache_bytes += n;
+    e.rgb.assign(dst, dst + n);
+    e.stamp = ++s.cache_stamp;
+    while (s.cache_bytes > Slide::kCacheCapBytes && s.tile_cache.size() > 1) {
+      auto oldest = s.tile_cache.begin();
+      for (auto it = s.tile_cache.begin(); it != s.tile_cache.end(); ++it)
+        if (it->second.stamp < oldest->second.stamp) oldest = it;
+      s.cache_bytes -= oldest->second.rgb.size();
+      s.tile_cache.erase(oldest);
+    }
+  }
+  return rc;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -637,8 +688,8 @@ int32_t tiff_read_tile(void* h, int32_t level, int32_t tx, int32_t ty,
   if (tx < 0 || ty < 0 || tx >= static_cast<int32_t>(lv.tiles_x()) ||
       ty >= static_cast<int32_t>(lv.tiles_y()))
     return kBadArgument;
-  return decode_tile(*s, lv, static_cast<uint32_t>(tx),
-                     static_cast<uint32_t>(ty), dst);
+  return decode_tile_cached(*s, level, lv, static_cast<uint32_t>(tx),
+                            static_cast<uint32_t>(ty), dst);
 } catch (...) {
   return kCorrupt;
 }
@@ -670,8 +721,10 @@ int32_t tiff_read_region(void* h, int32_t level, int64_t x, int64_t y,
         // Worker-thread exceptions would std::terminate — convert to kCorrupt.
         try {
         std::vector<uint8_t> tile(static_cast<size_t>(tw) * th * 3);
-        int32_t rc = decode_tile(*s, lv, static_cast<uint32_t>(tx),
-                                 static_cast<uint32_t>(ty), tile.data());
+        int32_t rc = decode_tile_cached(*s, level, lv,
+                                        static_cast<uint32_t>(tx),
+                                        static_cast<uint32_t>(ty),
+                                        tile.data());
         if (rc != kOk) { err.store(rc); return; }
         // copy the overlap of this tile with the region
         int64_t sx0 = std::max<int64_t>(x, tx * tw);
