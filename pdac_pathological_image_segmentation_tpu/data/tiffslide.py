@@ -146,6 +146,10 @@ class TiffSlide:
         # levels whose JPEG streams the native decoder rejected once —
         # skip the doomed (and wasted) native region attempt thereafter
         self._pil_levels: set = set()
+        # PIL-fallback analog of the C reader's decoded-tile LRU
+        # (overlapping windows re-touch stored tiles; see tiffreader.cpp)
+        self._pil_cache: "dict[tuple, np.ndarray]" = {}
+        self._pil_cache_cap = 64
         self.level_info: List[dict] = []
         for lv in range(lib.tiff_levels(self._h)):
             info = (ctypes.c_int64 * 8)()
@@ -218,6 +222,11 @@ class TiffSlide:
         outside its scope, and Aperio JPEG2000 (33003/33005) codestreams."""
         from PIL import Image
 
+        key = (level, tx, ty)
+        cached = self._pil_cache.get(key)
+        if cached is not None:
+            return cached
+
         info = self.level_info[level]
         data = self._tile_raw(level, tx, ty)
         if info["compression"] == 7:
@@ -234,6 +243,10 @@ class TiffSlide:
         th, tw = info["tile_h"], info["tile_w"]
         out = np.zeros((th, tw, 3), np.uint8)
         out[: arr.shape[0], : arr.shape[1]] = arr[:th, :tw]
+        out.setflags(write=False)  # cached array: callers must not mutate
+        if len(self._pil_cache) >= self._pil_cache_cap:
+            self._pil_cache.pop(next(iter(self._pil_cache)))  # FIFO evict
+        self._pil_cache[key] = out
         return out
 
     def read_tile(self, level: int, tx: int, ty: int) -> np.ndarray:
