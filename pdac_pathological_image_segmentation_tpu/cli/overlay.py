@@ -71,6 +71,15 @@ def main(argv=None) -> dict:
                         help="banded-canvas multi-chip stitching with ICI "
                         "halo exchange (for slides larger than one chip's "
                         "HBM)")
+    parser.add_argument("--banded", action="store_true",
+                        help="O(band)-memory single-chip runner for slides "
+                        "whose canvas exceeds HBM; uploads each band's "
+                        "pixels ONCE and slices windows on device when the "
+                        "source supports region reads (--slide mode and "
+                        "GridTiler do) — ~4x less H2D at stride=tile/2")
+    parser.add_argument("--band_h", type=int, default=None,
+                        help="band height in rows for --banded "
+                        "(default 4096)")
     parser.add_argument("--slide", default=None,
                         help="run directly on a pyramidal TIFF/SVS slide "
                         "(native tiled reader, streaming O(tile) host "
@@ -150,6 +159,9 @@ def main(argv=None) -> dict:
         infer_step = q.make_quantized_infer_fn(
             params, bstats, bundle, cfg.img_size, forward=forward)
 
+    if args.sharded and args.banded:
+        raise SystemExit("--sharded and --banded are mutually exclusive "
+                         "(the sharded runner is already banded per chip)")
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
             ShardedSlidingWindow,
@@ -163,6 +175,17 @@ def main(argv=None) -> dict:
             ),
             tta=args.tta, blend=args.blend, stain=cfg.stain,
             infer_step=infer_step,
+        )
+    elif args.banded:
+        from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+            BandedSlidingWindow,
+        )
+
+        runner = BandedSlidingWindow(
+            evaluator.model, evaluator.state, tile=cfg.img_size,
+            batch_size=max(cfg.batch_size, 8), band_h=args.band_h,
+            tta=args.tta, blend=args.blend, num_workers=cfg.num_worker,
+            stain=cfg.stain, infer_step=infer_step,
         )
     else:
         runner = SlidingWindowInference(

@@ -393,3 +393,10 @@ class TiffSlideSource:
             self.slide.read_region(self.level, x, y, self.tile, self.tile),
             (y, x),
         )
+
+    def read_region(self, y: int, x: int, h: int, w: int) -> np.ndarray:
+        """(h, w, 3) uint8 region at pixel (y, x) of this source's level,
+        zero-filled outside — the band-input read used by
+        ``BandedSlidingWindow`` (each stored slide tile decodes once per
+        band instead of once per overlapping window)."""
+        return self.slide.read_region(self.level, x, y, w, h)

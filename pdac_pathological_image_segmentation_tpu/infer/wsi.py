@@ -97,6 +97,17 @@ class GridTiler:
         y, x = self.coords[i]
         return self.slide[y:y + self.tile, x:x + self.tile], (y, x)
 
+    def read_region(self, y: int, x: int, h: int, w: int) -> np.ndarray:
+        """(h, w, 3) uint8 region at pixel (y, x) of the (edge-padded)
+        slide, zero-filled outside — the band-input read used by
+        ``BandedSlidingWindow``."""
+        out = np.zeros((h, w, 3), np.uint8)
+        sh, sw = self.slide.shape[:2]
+        y1, x1 = min(y + h, sh), min(x + w, sw)
+        if y1 > y and x1 > x:
+            out[:y1 - y, :x1 - x] = self.slide[y:y1, x:x1]
+        return out
+
 
 class PyHISTTileSource:
     """The reference's visualization inputs: tile PNGs + a PyHIST
@@ -256,15 +267,32 @@ class BandedSlidingWindow:
     Device memory is O(band) and host tile input streams from the source —
     combined with a streaming source (``data.synthetic.SyntheticSlideSource``
     or ``PyHISTTileSource``) nothing O(slide) ever materializes except the
-    output itself."""
+    output itself.
+
+    **Band input** (``band_input=True``, auto-enabled when the source has a
+    ``read_region(y, x, h, w)`` method): instead of uploading each
+    overlapping ``tile``×``tile`` window separately — at stride ``tile/2``
+    every slide pixel crosses host→device ~4× — the band's raw pixels are
+    uploaded **once** per band and the windows are sliced out on device
+    (``lax.dynamic_slice``).  H2D volume drops from ``(tile/stride)²`` ×
+    slide bytes to ``(1 + tile/band_h)`` × slide bytes (≈3.6× less at
+    stride 256 / band 4096), and the next band's read+upload is prefetched
+    while the current band computes.  Tissue filtering still applies (it
+    prunes the window list; bands with no surviving windows are never
+    uploaded)."""
 
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  band_h: Optional[int] = None, tta: bool = False,
                  blend: str = "hann", num_workers: int = 8,
-                 stain: str = "none", infer_step=None) -> None:
+                 stain: str = "none", infer_step=None,
+                 band_input: Optional[bool] = None) -> None:
         """``infer_step``: optional ``step(state, images_u8) → probs``
         override replacing the default fused tile→mask step — e.g. the
-        int8 quantized path (``infer.quantized.make_quantized_infer_fn``)."""
+        int8 quantized path (``infer.quantized.make_quantized_infer_fn``).
+
+        ``band_input``: upload band pixels once and slice windows on device
+        (requires ``source.read_region``); ``None`` = auto-detect per
+        source, ``False`` = always upload windows individually."""
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -275,10 +303,20 @@ class BandedSlidingWindow:
         self.band_h = band_h or max(tile, 4096)
         assert self.band_h >= tile
         self.blend = blend
+        self.band_input = band_input
         self._infer = _make_tta_infer(
             infer_step or make_infer_step(model, tile, stain=stain), tta
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def extract(band, coords):
+            # slice a batch of tile windows out of the device-resident band
+            return jax.vmap(
+                lambda c: jax.lax.dynamic_slice(
+                    band, (c[0], c[1], 0), (tile, tile, 3))
+            )(coords)
+
+        self._extract = jax.jit(extract)
 
     def _band_batches(self, source, idxs):
         for start in range(0, len(idxs), self.batch_size):
@@ -287,6 +325,28 @@ class BandedSlidingWindow:
             images = np.stack([p[0] for p in pairs])
             coords = np.asarray([p[1] for p in pairs], dtype=np.int32)
             yield images, coords
+
+    def _band_prob_batches(self, source, coords_all, per_band_idxs, y0,
+                           band_dev):
+        """Band-input inner loop: slice each window batch out of the
+        device-resident band and run inference — no per-window H2D.  Partial
+        final chunks are padded to ``batch_size`` (so the compiled infer
+        step sees one shape) and the padded probabilities dropped before
+        stitching."""
+        bs = self.batch_size
+        for start in range(0, len(per_band_idxs), bs):
+            chunk = per_band_idxs[start:start + bs]
+            k = len(chunk)
+            local = np.asarray(
+                [(coords_all[i][0] - y0, coords_all[i][1]) for i in chunk],
+                np.int32,
+            )
+            if k < bs:
+                local = np.concatenate(
+                    [local, np.zeros((bs - k, 2), np.int32)])
+            imgs = self._extract(band_dev, jnp.asarray(local))
+            probs = self._infer(self.state, imgs)
+            yield probs[:k], local[:k]
 
     def run(self, source, prob_dtype=np.float16
             ) -> Tuple[np.ndarray, np.ndarray]:
@@ -302,6 +362,27 @@ class BandedSlidingWindow:
         for i, (y, x) in enumerate(coords_all):
             per_band[min(y // band_h, n_bands - 1)].append(i)
 
+        use_band = (self.band_input if self.band_input is not None
+                    else hasattr(source, "read_region"))
+        if use_band and not hasattr(source, "read_region"):
+            raise ValueError(
+                "band_input=True requires a source with read_region(y, x, "
+                "h, w); pass band_input=False for window-upload mode")
+
+        # band-input prefetch: read+upload the NEXT non-empty band while the
+        # current one computes (single worker — bands arrive in order)
+        band_rows = band_h + tile
+        nonempty = [b for b in range(n_bands) if per_band[b]]
+        fetcher = ThreadPoolExecutor(max_workers=1) if use_band else None
+        futures: dict = {}
+
+        def _fetch(b):
+            return jax.device_put(
+                source.read_region(b * band_h, 0, band_rows, w))
+
+        if use_band and nonempty:
+            futures[nonempty[0]] = fetcher.submit(_fetch, nonempty[0])
+
         roll = jax.jit(
             lambda a: jnp.zeros_like(a).at[:tile].set(a[band_h:]),
             donate_argnums=(0,),
@@ -310,23 +391,43 @@ class BandedSlidingWindow:
         mask_out = np.zeros((h, w), dtype=np.uint8)
         accum = jnp.zeros((band_h + tile, w), jnp.float32)
         weight = jnp.zeros((band_h + tile, w), jnp.float32)
-        for b in range(n_bands):
-            y0 = b * band_h
-            for images, coords in self._band_batches(source, per_band[b]):
-                probs = self._infer(self.state, jnp.asarray(images))
-                local = coords - np.asarray([y0, 0], np.int32)
-                accum, weight = stitch_tiles_into(
-                    accum, weight, probs.astype(jnp.float32),
-                    jnp.asarray(local), blend=self.blend,
-                )
-            rows = min(band_h, h - y0)
-            prob, mask = finalize_canvas(accum[:band_h], weight[:band_h])
-            prob_out[y0:y0 + rows] = np.asarray(
-                jax.device_get(prob[:rows])).astype(prob_dtype)
-            mask_out[y0:y0 + rows] = np.asarray(jax.device_get(mask[:rows]))
-            if b + 1 < n_bands:
-                accum = roll(accum)
-                weight = roll(weight)
+        try:
+            for b in range(n_bands):
+                y0 = b * band_h
+                if use_band and per_band[b]:
+                    band_dev = futures.pop(b).result()
+                    pos = nonempty.index(b)
+                    if pos + 1 < len(nonempty):
+                        nxt = nonempty[pos + 1]
+                        futures[nxt] = fetcher.submit(_fetch, nxt)
+                    batches = self._band_prob_batches(
+                        source, coords_all, per_band[b], y0, band_dev)
+                elif per_band[b]:
+                    batches = (
+                        (self._infer(self.state, jnp.asarray(images)),
+                         coords - np.asarray([y0, 0], np.int32))
+                        for images, coords
+                        in self._band_batches(source, per_band[b])
+                    )
+                else:
+                    batches = ()
+                for probs, local in batches:
+                    accum, weight = stitch_tiles_into(
+                        accum, weight, probs.astype(jnp.float32),
+                        jnp.asarray(local), blend=self.blend,
+                    )
+                rows = min(band_h, h - y0)
+                prob, mask = finalize_canvas(accum[:band_h], weight[:band_h])
+                prob_out[y0:y0 + rows] = np.asarray(
+                    jax.device_get(prob[:rows])).astype(prob_dtype)
+                mask_out[y0:y0 + rows] = np.asarray(
+                    jax.device_get(mask[:rows]))
+                if b + 1 < n_bands:
+                    accum = roll(accum)
+                    weight = roll(weight)
+        finally:
+            if fetcher is not None:
+                fetcher.shutdown(wait=False)
         oh, ow = getattr(source, "orig_hw", (h, w))
         return prob_out[:oh, :ow], mask_out[:oh, :ow]
 

@@ -288,3 +288,107 @@ def test_synthetic_slide_source_streams(model_and_state):
     prob, mask = runner.run(src)
     assert prob.shape == (128, 128) and prob.dtype == np.float16
     assert np.isfinite(prob.astype(np.float32)).all()
+
+
+def test_synthetic_source_region_coherence():
+    """get() windows and read_region() bands view the SAME virtual slide
+    (cell-grid generation): windows equal region crops, regions compose,
+    reads past the slide edge zero-fill."""
+    from pdac_pathological_image_segmentation_tpu.data.synthetic import (
+        SyntheticSlideSource,
+    )
+
+    src = SyntheticSlideSource(size=160, tile=TILE, stride=TILE // 2, seed=3)
+    for i in (0, 3, len(src) - 1):
+        img, (y, x) = src.get(i)
+        np.testing.assert_array_equal(img, src.read_region(y, x, TILE, TILE))
+    whole = src.read_region(0, 0, 160, 160)
+    part = src.read_region(37, 21, 80, 90)
+    np.testing.assert_array_equal(part, whole[37:117, 21:111])
+    over = src.read_region(160 - TILE // 2, 0, TILE, TILE)
+    np.testing.assert_array_equal(over[:TILE // 2],
+                                  whole[160 - TILE // 2:, :TILE])
+    assert (over[TILE // 2:] == 0).all()
+
+
+def test_band_extract_matches_host_slices(model_and_state):
+    """The on-device window extraction (vmap dynamic_slice over the
+    uploaded band) is bitwise the host slice."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    model, state = model_and_state
+    runner = BandedSlidingWindow(model, state, tile=TILE, batch_size=4,
+                                 band_h=TILE, band_input=True)
+    rng = np.random.default_rng(7)
+    band = rng.integers(0, 256, (2 * TILE, 96, 3), dtype=np.uint8)
+    coords = np.asarray(
+        [[0, 0], [TILE // 2, 5], [TILE, 96 - TILE], [0, 96 - TILE]],
+        np.int32,
+    )
+    got = np.asarray(runner._extract(jnp.asarray(band), jnp.asarray(coords)))
+    for i, (y, x) in enumerate(coords):
+        np.testing.assert_array_equal(got[i], band[y:y + TILE, x:x + TILE])
+
+
+def test_banded_band_input_matches_window_upload(model_and_state):
+    """band_input=True (one H2D per band + on-device window slicing, the
+    ~4x H2D reduction) produces the same canvas as per-window upload —
+    including padded partial batches and a window-free band that must not
+    be uploaded."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    model, state = model_and_state
+    rng = np.random.default_rng(11)
+    slide = rng.integers(0, 256, (5 * TILE, 3 * TILE, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=TILE // 2)
+    # empty a whole band: drop every window whose top edge lands in band 1
+    tiler.coords = [(y, x) for (y, x) in tiler.coords
+                    if not (2 * TILE <= y < 4 * TILE)]
+    kw = dict(tile=TILE, batch_size=4, band_h=2 * TILE, blend="hann",
+              num_workers=2)
+    p_win, m_win = BandedSlidingWindow(
+        model, state, band_input=False, **kw).run(tiler,
+                                                  prob_dtype=np.float32)
+    p_band, m_band = BandedSlidingWindow(
+        model, state, band_input=True, **kw).run(tiler,
+                                                 prob_dtype=np.float32)
+    np.testing.assert_allclose(p_band, p_win, atol=2e-5)
+    np.testing.assert_array_equal(m_band, m_win)
+
+
+def test_band_input_requires_read_region(model_and_state):
+    """Explicit band_input=True on a source without read_region is a clear
+    error (auto mode silently falls back to window upload)."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    class WindowsOnly:
+        def __init__(self, tiler):
+            self._t = tiler
+            self.coords = tiler.coords
+            self.canvas_hw = tiler.canvas_hw
+            self.tile = tiler.tile
+
+        def __len__(self):
+            return len(self._t)
+
+        def get(self, i):
+            return self._t.get(i)
+
+    model, state = model_and_state
+    rng = np.random.default_rng(2)
+    slide = rng.integers(0, 256, (2 * TILE, 2 * TILE, 3), dtype=np.uint8)
+    src = WindowsOnly(GridTiler(slide, tile=TILE, stride=TILE))
+    runner = BandedSlidingWindow(model, state, tile=TILE, batch_size=4,
+                                 band_h=TILE, band_input=True)
+    with pytest.raises(ValueError, match="read_region"):
+        runner.run(src)
+    auto = BandedSlidingWindow(model, state, tile=TILE, batch_size=4,
+                               band_h=TILE)
+    prob, mask = auto.run(src)
+    assert prob.shape == src.canvas_hw

@@ -84,3 +84,46 @@ def test_sharded_tta(setup):
                                    tta=True)
     prob, _ = sharded.run(tiler)
     np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
+
+
+def test_sharded_band_input_matches_window_upload(setup):
+    """band_input=True (one device-sharded band upload + on-device window
+    slicing) == per-window upload, and auto mode picks band input for a
+    read_region-capable source."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(5)
+    slide = rng.integers(0, 256, (320, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)
+
+    p_win, m_win = ShardedSlidingWindow(
+        model, state, mesh, tile=TILE, batch_per_device=4, blend="hann",
+        band_input=False).run(tiler)
+    p_band, m_band = ShardedSlidingWindow(
+        model, state, mesh, tile=TILE, batch_per_device=4, blend="hann",
+        band_input=True).run(tiler)
+    np.testing.assert_allclose(p_band, p_win, atol=2e-5)
+    np.testing.assert_array_equal(m_band, m_win)
+
+
+def test_sharded_band_input_requires_read_region(setup):
+    model, state, mesh = setup
+
+    class WindowsOnly:
+        def __init__(self, tiler):
+            self._t = tiler
+            self.canvas_hw = tiler.canvas_hw
+            self.tile = tiler.tile
+
+        def __len__(self):
+            return len(self._t)
+
+        def get(self, i):
+            return self._t.get(i)
+
+    rng = np.random.default_rng(6)
+    slide = rng.integers(0, 256, (320, 96, 3), dtype=np.uint8)
+    src = WindowsOnly(GridTiler(slide, tile=TILE, stride=TILE))
+    runner = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                  batch_per_device=4, band_input=True)
+    with pytest.raises(ValueError, match="read_region"):
+        runner.run(src)
