@@ -48,8 +48,8 @@ from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
     sync_global_devices,
 )
 from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     restore_checkpoint,
-    save_checkpoint,
 )
 from pdac_pathological_image_segmentation_tpu.train.gns import GnsEma
 from pdac_pathological_image_segmentation_tpu.train.objective import (
@@ -176,6 +176,7 @@ class Trainer:
         self.early_stopping = EarlyStop(
             patience=cfg.earlystop_patience, delta=cfg.earlystop_delta
         )
+        self._ckpt_saver = AsyncCheckpointSaver()
         self.is_chief = jax.process_index() == 0
         self.writer = _ScalarWriter(self.log_dir) if self.is_chief else None
 
@@ -397,7 +398,8 @@ class Trainer:
             es_state = self.early_stopping.state_dict()
             if es_state["best_score"] is None:
                 es_state["best_score"] = float("nan")
-            save_checkpoint(
+            # non-blocking: the fetch + Orbax write overlap the next epoch
+            self._ckpt_saver.save(
                 self.pth_path, self.state, epoch, previous_best,
                 self.scheduler.state_dict(), es_state, is_best,
             )
@@ -415,6 +417,7 @@ class Trainer:
                 break
             sync_global_devices(f"epoch_{epoch}")
 
+        self._ckpt_saver.wait()  # final latest/best durable before return
         if self.writer is not None:
             self.writer.close()
         return {
