@@ -60,7 +60,13 @@ def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description="pathology_project overlay")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--save_path", required=True)
-    parser.add_argument("--pth_path", required=True)
+    parser.add_argument("--pth_path", default=None,
+                        help="checkpoint (required unless --artifact)")
+    parser.add_argument("--artifact", default=None,
+                        help="serve from an exported artifact "
+                        "(cli/export.py) instead of a checkpoint — no "
+                        "model code or weights load; composes with "
+                        "--banded/--tta/--slide")
     parser.add_argument("--tta", action="store_true",
                         help="dihedral-8 test-time augmentation")
     parser.add_argument("--blend", default="uniform",
@@ -110,7 +116,20 @@ def main(argv=None) -> dict:
     cfg = load_config(args.config)
     os.makedirs(args.save_path, exist_ok=True)
 
-    evaluator = Evaluator(cfg, args.pth_path)
+    if args.artifact and args.int8:
+        raise SystemExit("--artifact already bakes a serving program; "
+                         "int8 is chosen at export time (cli/export.py "
+                         "--int8)")
+    if args.artifact and args.sharded:
+        raise SystemExit("--artifact does not compose with --sharded "
+                         "(the sharded runner re-jits the step over the "
+                         "mesh); use --banded")
+    if not args.artifact and not args.pth_path:
+        raise SystemExit("one of --pth_path or --artifact is required")
+
+    evaluator = None
+    if not args.artifact:
+        evaluator = Evaluator(cfg, args.pth_path)
     if args.slide:
         from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
             TiffSlide,
@@ -132,6 +151,17 @@ def main(argv=None) -> dict:
                                   tissue_threshold=cfg.tissue_threshold,
                                   num_workers=cfg.num_worker)
     infer_step = None
+    if args.artifact:
+        from pdac_pathological_image_segmentation_tpu.infer.export import (
+            load_serving_artifact,
+        )
+
+        art = load_serving_artifact(args.artifact)
+        if art.tile != cfg.img_size:
+            raise SystemExit(
+                f"artifact serves {art.tile}x{art.tile} tiles but "
+                f"cfg.img_size is {cfg.img_size}")
+        infer_step = lambda state, images: art(images)  # noqa: E731
     if args.int8:
         from pdac_pathological_image_segmentation_tpu.infer import (
             quantized as q,
@@ -162,6 +192,10 @@ def main(argv=None) -> dict:
     if args.sharded and args.banded:
         raise SystemExit("--sharded and --banded are mutually exclusive "
                          "(the sharded runner is already banded per chip)")
+    # under --artifact the runners never touch model/state: the serving
+    # program (weights baked in) IS the infer_step
+    ev_model = evaluator.model if evaluator else None
+    ev_state = evaluator.state if evaluator else None
     if args.sharded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi_sharded import (
             ShardedSlidingWindow,
@@ -182,14 +216,14 @@ def main(argv=None) -> dict:
         )
 
         runner = BandedSlidingWindow(
-            evaluator.model, evaluator.state, tile=cfg.img_size,
+            ev_model, ev_state, tile=cfg.img_size,
             batch_size=max(cfg.batch_size, 8), band_h=args.band_h,
             tta=args.tta, blend=args.blend, num_workers=cfg.num_worker,
             stain=cfg.stain, infer_step=infer_step,
         )
     else:
         runner = SlidingWindowInference(
-            evaluator.model, evaluator.state, tile=cfg.img_size,
+            ev_model, ev_state, tile=cfg.img_size,
             batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
             num_workers=cfg.num_worker, stain=cfg.stain,
             infer_step=infer_step,

@@ -43,6 +43,55 @@ from pdac_pathological_image_segmentation_tpu.train.state import (
 from pdac_pathological_image_segmentation_tpu.utils.meters import AverageMeter
 
 
+def load_serving_state(
+    cfg: Config,
+    pth_path: str,
+    mesh: Optional[jax.sharding.Mesh] = None,
+):
+    """Build ``cfg``'s model and load serving weights from ``pth_path``.
+
+    ``pth_path`` resolves like the reference's eval entry
+    (``test.py:94-135``): an Orbax checkpoint directory
+    (``.../pth/latest`` or ``.../pth/best``), a ``.../pth`` parent
+    (``best`` preferred, then ``latest``), or a reference-pipeline torch
+    ``.pth`` file (converted on the fly for all four architectures).
+    Returns ``(model, state, meta, mesh)`` with the state replicated on
+    ``mesh``; shared by the :class:`Evaluator` and the export CLI.
+    """
+    mesh = mesh if mesh is not None else create_mesh(cfg.num_devices)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    if os.path.isfile(pth_path) and pth_path.endswith((".pth", ".pt")):
+        # a reference-pipeline torch checkpoint (train_worker.py:116) —
+        # convert it on the fly: 'unet' (in-repo ResUNet) and 'fpn'
+        # (smp layout, the reference's default config)
+        from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
+            load_reference_model_checkpoint,
+        )
+
+        params, batch_stats = load_reference_model_checkpoint(
+            pth_path, cfg.model, state.params, state.batch_stats
+        )
+        restored = (
+            state.replace(params=jax.device_put(params),
+                          batch_stats=jax.device_put(batch_stats)),
+            {"source": "reference_pth"},
+        )
+    elif os.path.isdir(os.path.join(pth_path, "best")):
+        restored = restore_checkpoint(pth_path, state, name="best")
+    elif os.path.isdir(os.path.join(pth_path, "latest")):
+        restored = restore_checkpoint(pth_path, state, name="latest")
+    else:
+        parent, name = os.path.split(os.path.normpath(pth_path))
+        restored = restore_checkpoint(parent, state, name=name)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found at {pth_path}")
+    state, meta = restored
+    return model, state, meta, mesh
+
+
 class Evaluator:
     def __init__(
         self,
@@ -54,38 +103,10 @@ class Evaluator:
         ``.../pth/best``) or a ``.../pth`` directory (defaults to ``best``
         then ``latest``)."""
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else create_mesh(cfg.num_devices)
+        self.model, self.state, self.meta, self.mesh = load_serving_state(
+            cfg, pth_path, mesh
+        )
         self.data_sharding = batch_sharding(self.mesh)
-        self.model = build_model(cfg)
-        state = create_train_state(cfg, self.model, jax.random.PRNGKey(cfg.seed))
-        state = jax.device_put(state, replicated_sharding(self.mesh))
-
-        if os.path.isfile(pth_path) and pth_path.endswith((".pth", ".pt")):
-            # a reference-pipeline torch checkpoint (train_worker.py:116) —
-            # convert it on the fly: 'unet' (in-repo ResUNet) and 'fpn'
-            # (smp layout, the reference's default config)
-            from pdac_pathological_image_segmentation_tpu.utils.torch_weights import (
-                load_reference_model_checkpoint,
-            )
-
-            params, batch_stats = load_reference_model_checkpoint(
-                pth_path, cfg.model, state.params, state.batch_stats
-            )
-            restored = (
-                state.replace(params=jax.device_put(params),
-                              batch_stats=jax.device_put(batch_stats)),
-                {"source": "reference_pth"},
-            )
-        elif os.path.isdir(os.path.join(pth_path, "best")):
-            restored = restore_checkpoint(pth_path, state, name="best")
-        elif os.path.isdir(os.path.join(pth_path, "latest")):
-            restored = restore_checkpoint(pth_path, state, name="latest")
-        else:
-            parent, name = os.path.split(os.path.normpath(pth_path))
-            restored = restore_checkpoint(parent, state, name=name)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoint found at {pth_path}")
-        self.state, self.meta = restored
 
         img_size = cfg.img_size
         model = self.model
