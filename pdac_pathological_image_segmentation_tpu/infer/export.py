@@ -24,6 +24,7 @@ constants are the int8 weights and calibrated scales, so the artifact is
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional, Sequence
 
@@ -33,7 +34,9 @@ import numpy as np
 
 from pdac_pathological_image_segmentation_tpu.config import Config
 
-MAGIC = b"PDACSRV1"  # artifact header: magic + tile size, then jax.export bytes
+# artifact layout: MAGIC, u32 little-endian JSON length, JSON metadata
+# (tile/model/backbone/stain/int8/batch/platforms), jax.export bytes
+MAGIC = b"PDACSRV1"
 
 
 def _build_infer_fn(cfg: Config, state, tile: int, int8: bool,
@@ -98,7 +101,16 @@ def export_serving_artifact(
     exported = jax.export.export(
         jax.jit(fn), platforms=list(platforms))(spec)
     blob = exported.serialize()
-    payload = MAGIC + int(tile).to_bytes(4, "little") + blob
+    meta = json.dumps({
+        "tile": int(tile),
+        "model": cfg.model,
+        "backbone": cfg.backbone,
+        "stain": cfg.stain,
+        "int8": bool(int8),
+        "batch": None if batch is None else int(batch),
+        "platforms": list(platforms),
+    }).encode()
+    payload = MAGIC + len(meta).to_bytes(4, "little") + meta + blob
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
@@ -111,17 +123,40 @@ class ServingArtifact:
 
     Needs only jax — no model classes, no checkpoint IO, no config.  Each
     distinct input shape compiles natively once on first call (standard
-    jit caching applies to ``Exported.call``).
+    jit caching applies to ``Exported.call``).  ``meta`` carries the
+    export-time provenance (model, backbone, stain, int8, platforms).
     """
 
-    def __init__(self, exported, tile: int):
+    def __init__(self, exported, meta: dict):
         self._exported = exported
-        self.tile = tile
+        self.meta = dict(meta)
+        self.tile = int(meta["tile"])
         self.platforms = tuple(exported.platforms)
         self.in_shape = tuple(exported.in_avals[0].shape)
 
     def __call__(self, images) -> jax.Array:
         return self._exported.call(jnp.asarray(images, jnp.uint8))
+
+    def aot(self, batch_size: int, *, options=None):
+        """AOT-compile the artifact for one batch shape under the tuned
+        serving compiler options.
+
+        ``Exported.call`` recompiles with XLA *defaults*, leaving the
+        scoped-vmem + bundle-aware-fusion win (~+4–8% on v5e, BASELINE.md
+        round-3 sweep) on the table; this pins the same
+        ``SERVING_COMPILER_OPTIONS`` the in-process path serves under.
+        Returns ``fn(images_u8[batch_size, tile, tile, 3]) → probs``;
+        falls back to the default-compiled path where the backend rejects
+        the options (CPU).
+        """
+        from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+            compile_serving,
+        )
+
+        spec = jax.ShapeDtypeStruct(
+            (int(batch_size), self.tile, self.tile, 3), jnp.uint8)
+        return compile_serving(jax.jit(self._exported.call), spec,
+                               options=options)
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
@@ -131,10 +166,18 @@ def load_serving_artifact(path: str) -> ServingArtifact:
         raise ValueError(
             f"{path} is not a serving artifact (bad magic; expected "
             f"{MAGIC!r})")
-    tile = int.from_bytes(payload[len(MAGIC): len(MAGIC) + 4], "little")
-    exported = jax.export.deserialize(
-        bytearray(payload[len(MAGIC) + 4:]))
-    return ServingArtifact(exported, tile)
+    off = len(MAGIC)
+    meta_len = int.from_bytes(payload[off: off + 4], "little")
+    off += 4
+    if off + meta_len > len(payload):
+        raise ValueError(f"{path} is truncated (header claims {meta_len} "
+                         f"metadata bytes, {len(payload) - off} present)")
+    try:
+        meta = json.loads(payload[off: off + meta_len].decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"{path} has corrupt metadata: {e}") from e
+    exported = jax.export.deserialize(bytearray(payload[off + meta_len:]))
+    return ServingArtifact(exported, meta)
 
 
 def calib_batches_from_dir(path: str, tile: int, n: int = 16,

@@ -38,6 +38,7 @@ def run_sweep(
     tta: bool = False,
     sharded: bool = False,
     out_dir: Optional[str] = None,
+    infer_step=None,
 ) -> List[Dict]:
     """Segment every slide; returns per-slide result dicts
     (mask/prob optionally saved to ``out_dir`` instead of kept in memory).
@@ -45,6 +46,11 @@ def run_sweep(
     ``sharded=True`` uses the banded-canvas halo-exchange path
     (``wsi_sharded``) — worthwhile for slides whose canvas does not fit one
     chip's HBM; the default batch-sharded path is faster for ordinary sizes.
+
+    ``infer_step``: optional ``step(state, images_u8) → probs`` override —
+    the int8 quantized path, or a serving artifact
+    (``infer/export.py``: ``lambda s, im: artifact(im)``, with
+    ``model=None, state=None``).
     """
     process_index = jax.process_index()
     process_count = jax.process_count()
@@ -59,12 +65,12 @@ def run_sweep(
         runner = ShardedSlidingWindow(
             model, state, mesh, tile=tile,
             batch_per_device=max(1, batch_size // mesh.devices.size),
-            blend=blend, tta=tta,
+            blend=blend, tta=tta, infer_step=infer_step,
         )
     else:
         runner = SlidingWindowInference(
             model, state, tile=tile, batch_size=batch_size, blend=blend,
-            tta=tta,
+            tta=tta, infer_step=infer_step,
         )
 
     if out_dir:

@@ -62,6 +62,9 @@ def test_exported_matches_direct_step(cfg_state, artifact_path):
     assert isinstance(infer, ServingArtifact)
     assert infer.tile == TILE
     assert infer.platforms == ("cpu",)
+    assert infer.meta["model"] == "unet"
+    assert infer.meta["backbone"] == "resnet18"
+    assert infer.meta["int8"] is False
 
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (4, TILE, TILE, 3), dtype=np.uint8)
@@ -95,6 +98,18 @@ def test_pinned_batch_rejects_other_sizes(cfg_state, tmp_path):
         infer(np.zeros((3, TILE, TILE, 3), np.uint8))
 
 
+def test_aot_compile_matches_call(artifact_path):
+    """aot() pins the serving compiler options (TPU) or falls back to the
+    default compile (CPU, options rejected) — output equals __call__."""
+    infer = load_serving_artifact(artifact_path)
+    fn = infer.aot(2)
+    rng = np.random.default_rng(4)
+    images = rng.integers(0, 256, (2, TILE, TILE, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        np.asarray(fn(jnp.asarray(images))), np.asarray(infer(images)),
+        atol=1e-5, rtol=0)
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.pdacsrv"
     p.write_bytes(b"definitely not an artifact")
@@ -115,6 +130,7 @@ def test_int8_export_matches_quantized_step(cfg_state, tmp_path):
     export_serving_artifact(cfg, state, path, platforms=("cpu",),
                             int8=True, calib_batches=calib)
     infer = load_serving_artifact(path)
+    assert infer.meta["int8"] is True
 
     bundle, forward = quantize_from_config(
         cfg, state.params, state.batch_stats, calib)
@@ -213,6 +229,28 @@ def test_wsi_runner_serves_from_artifact(cfg_state, artifact_path):
     prob_s, mask_s = from_state.run(src)
     np.testing.assert_allclose(prob_a, prob_s, atol=1e-5, rtol=0)
     np.testing.assert_array_equal(mask_a, mask_s)
+
+
+def test_sweep_from_artifact(cfg_state, artifact_path):
+    """Cohort sweep served from an artifact (model=None/state=None)
+    matches the model/state sweep."""
+    from pdac_pathological_image_segmentation_tpu.infer.export import (
+        load_serving_artifact,
+    )
+    from pdac_pathological_image_segmentation_tpu.infer.sweep import run_sweep
+
+    cfg, model, state = cfg_state
+    rng = np.random.default_rng(5)
+    slides = [rng.integers(0, 256, (2 * TILE, 2 * TILE, 3), dtype=np.uint8)
+              for _ in range(2)]
+    art = load_serving_artifact(artifact_path)
+    res_a = run_sweep(None, None, slides, tile=TILE, batch_size=4,
+                      infer_step=lambda s, im: art(im))
+    res_s = run_sweep(model, state, slides, tile=TILE, batch_size=4)
+    assert len(res_a) == len(res_s) == 2
+    for a, s in zip(res_a, res_s):
+        np.testing.assert_allclose(a["prob"], s["prob"], atol=1e-5, rtol=0)
+        assert a["tumor_fraction"] == pytest.approx(s["tumor_fraction"])
 
 
 def test_overlay_cli_artifact_validation(tmp_path):
