@@ -229,6 +229,66 @@ def bench_int8(model_name: str = "unet") -> None:
     }))
 
 
+def bench_artifact() -> None:
+    """Exported-artifact serving throughput: the same flagship step as
+    ``main()``, but serialized to a ``.pdacsrv`` file (``infer/export.py``),
+    loaded back with no model objects, and AOT-compiled via
+    ``ServingArtifact.aot`` under the tuned serving options — proves the
+    deployment artifact serves at in-process speed (the exported program
+    bakes weights as constants; only the export/deserialize roundtrip and
+    the argument calling convention could differ)."""
+    import os
+    import tempfile
+
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.infer.export import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+    from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = Config(model="unet", backbone="resnet18", img_size=512,
+                 compute_dtype="bfloat16")
+    cfg.extras["head_dtype"] = "bfloat16"
+    model = build_model(cfg)
+    state = jax.device_put(
+        create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
+    platform = jax.devices()[0].platform
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.pdacsrv")
+        export_serving_artifact(cfg, state, path, platforms=(platform,))
+        del model, state
+        artifact = load_serving_artifact(path)
+    batch = 512
+    step = artifact.aot(batch)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
+    out = step(x)
+    _ = float(out[0, 0, 0])  # compile + completion (relay: fetch, not block)
+    n_iters, depth = 96, 16
+    t0 = time.perf_counter()
+    for i in range(0, n_iters, depth):
+        outs = [step(x) for _ in range(depth)]
+        _ = float(outs[-1][0, 0, 0])
+    dt = time.perf_counter() - t0
+    pps = n_iters * batch / dt
+    print(json.dumps({
+        "metric": "512x512 patches/sec/chip tile->mask served from the "
+                  "exported .pdacsrv artifact (unet, bf16, bs=512)",
+        "value": round(pps, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(pps / TARGET, 3),
+    }))
+
+
 def bench_wsi(size: int = 8192, stride: int | None = None,
               tissue_threshold: float = 0.0, tile_io: bool = False) -> None:
     """Full-slide sliding-window inference wall-clock (BASELINE config #4):
@@ -298,7 +358,8 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="infer",
-                        choices=("infer", "train", "wsi", "int8"))
+                        choices=("infer", "train", "wsi", "int8",
+                                 "artifact"))
     parser.add_argument("--size", type=int, default=8192,
                         help="WSI side length for --mode wsi")
     parser.add_argument("--model", default="unet", choices=("unet", "fpn", "deeplabv3+", "pspnet"),
@@ -313,5 +374,7 @@ if __name__ == "__main__":
         bench_train()
     elif args.mode == "int8":
         bench_int8(args.model)
+    elif args.mode == "artifact":
+        bench_artifact()
     else:
         bench_wsi(args.size, tile_io=args.tile_io)

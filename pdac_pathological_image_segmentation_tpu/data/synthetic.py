@@ -88,12 +88,27 @@ class SyntheticSlideSource:
             ys.append(size - tile)
         self.coords = [(y, x) for y in ys for x in ys]
         self.canvas_hw = (size, size)
+        # overlapping windows / bands touch each cell up to ~9×; a small
+        # FIFO cache keeps regeneration off the repeat touches without
+        # holding more than a couple of band-rows of cells
+        self._cell_cache: dict = {}
+        self._cell_cache_cap = max(4 * (size // tile + 2), 64)
 
     def __len__(self) -> int:
         return len(self.coords)
 
     def _cell(self, iy: int, ix: int) -> np.ndarray:
         """The (tile×tile×3) uint8 cell at cell-grid indices (iy, ix)."""
+        cached = self._cell_cache.get((iy, ix))
+        if cached is not None:
+            return cached
+        cell = self._make_cell(iy, ix)
+        if len(self._cell_cache) >= self._cell_cache_cap:
+            self._cell_cache.pop(next(iter(self._cell_cache)), None)
+        self._cell_cache[(iy, ix)] = cell
+        return cell
+
+    def _make_cell(self, iy: int, ix: int) -> np.ndarray:
         t = self.tile
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + iy) * 1_000_003 + ix

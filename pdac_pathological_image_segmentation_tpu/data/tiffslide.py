@@ -150,6 +150,7 @@ class TiffSlide:
         # (overlapping windows re-touch stored tiles; see tiffreader.cpp)
         self._pil_cache: "dict[tuple, np.ndarray]" = {}
         self._pil_cache_cap = 64
+        self._pil_cache_lock = threading.Lock()
         self.level_info: List[dict] = []
         for lv in range(lib.tiff_levels(self._h)):
             info = (ctypes.c_int64 * 8)()
@@ -223,9 +224,12 @@ class TiffSlide:
         from PIL import Image
 
         key = (level, tx, ty)
-        cached = self._pil_cache.get(key)
+        with self._pil_cache_lock:
+            cached = self._pil_cache.get(key)
         if cached is not None:
-            return cached
+            # writable copy: the native path returns fresh arrays, so the
+            # cached master must never be handed out directly
+            return cached.copy()
 
         info = self.level_info[level]
         data = self._tile_raw(level, tx, ty)
@@ -243,11 +247,14 @@ class TiffSlide:
         th, tw = info["tile_h"], info["tile_w"]
         out = np.zeros((th, tw, 3), np.uint8)
         out[: arr.shape[0], : arr.shape[1]] = arr[:th, :tw]
-        out.setflags(write=False)  # cached array: callers must not mutate
-        if len(self._pil_cache) >= self._pil_cache_cap:
-            self._pil_cache.pop(next(iter(self._pil_cache)))  # FIFO evict
-        self._pil_cache[key] = out
-        return out
+        out.setflags(write=False)  # cached master: callers get copies
+        with self._pil_cache_lock:
+            if len(self._pil_cache) >= self._pil_cache_cap:
+                # FIFO evict; pop(..., None) so two threads racing on the
+                # same first key can't raise
+                self._pil_cache.pop(next(iter(self._pil_cache)), None)
+            self._pil_cache[key] = out
+        return out.copy()
 
     def read_tile(self, level: int, tx: int, ty: int) -> np.ndarray:
         """One stored tile as (tile_h, tile_w, 3) uint8 (edge tiles are

@@ -147,12 +147,18 @@ class ServingArtifact:
         ``SERVING_COMPILER_OPTIONS`` the in-process path serves under.
         Returns ``fn(images_u8[batch_size, tile, tile, 3]) → probs``;
         falls back to the default-compiled path where the backend rejects
-        the options (CPU).
+        the options (CPU).  int8 artifacts (``meta['int8']``) default to
+        ``INT8_COMPILER_OPTIONS`` — the int8 program's scoped-vmem optimum
+        sits higher than the bf16 one (80 vs 64 MiB, ~5% at bs=256;
+        BASELINE.md int8 retune table).
         """
         from pdac_pathological_image_segmentation_tpu.utils.compile_options import (
+            INT8_COMPILER_OPTIONS,
             compile_serving,
         )
 
+        if options is None and self.meta.get("int8"):
+            options = INT8_COMPILER_OPTIONS
         spec = jax.ShapeDtypeStruct(
             (int(batch_size), self.tile, self.tile, 3), jnp.uint8)
         return compile_serving(jax.jit(self._exported.call), spec,

@@ -141,6 +141,12 @@ class MicroBatcher:
                 f"{image.dtype} {image.shape}")
         p = _Pending(image)
         self._queue.put(p)
+        # close the shutdown race: if stop() drained the queue between our
+        # is_set() check and the put, nobody will ever serve this entry —
+        # fail it immediately instead of blocking out the full timeout
+        if self._stop.is_set() and not p.event.is_set():
+            p.error = RuntimeError("server shutting down")
+            p.event.set()
         if not p.event.wait(timeout):
             raise TimeoutError(f"inference not completed in {timeout}s")
         if p.error is not None:

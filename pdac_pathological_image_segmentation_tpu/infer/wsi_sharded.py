@@ -236,7 +236,13 @@ class ShardedSlidingWindow:
         ``canvas_hw``).  Returns host (prob_map, binary_mask)."""
         h, w = source.canvas_hw
         n = len(source)
-        coords = np.asarray([source.get(i)[1] for i in range(n)], np.int64)
+        # tile sources expose .coords (GridTiler, TiffSlideSource) — use it
+        # so band-input mode never decodes window pixels just to plan;
+        # falling back to get(i) decodes every window once on host
+        coords = getattr(source, "coords", None)
+        if coords is None:
+            coords = [source.get(i)[1] for i in range(n)]
+        coords = np.asarray(coords, np.int64)
         band_h, idx, valid = self._plan(coords, (h, w))
         d, max_n = idx.shape
         tile, bpd = self.tile, self.batch_per_device

@@ -322,6 +322,20 @@ class Trainer:
         final_epoch = start_epoch
         profile_epoch = cfg.extras.get("profile_epoch")
         step_timer = StepTimer()
+        try:
+            return self._train_epochs(
+                cfg, base_key, start_epoch, final_epoch, profile_epoch,
+                step_timer, previous_best)
+        finally:
+            # an exception mid-epoch must not abandon the in-flight async
+            # checkpoint write (the daemon thread would die mid-Orbax-write
+            # and auto-resume would restart from a stale epoch)
+            self._ckpt_saver.wait()
+            if self.writer is not None:
+                self.writer.close()
+
+    def _train_epochs(self, cfg, base_key, start_epoch, final_epoch,
+                      profile_epoch, step_timer, previous_best):
         for epoch in range(start_epoch, cfg.epochs):
             final_epoch = epoch
             t0 = time.time()
@@ -417,9 +431,6 @@ class Trainer:
                 break
             sync_global_devices(f"epoch_{epoch}")
 
-        self._ckpt_saver.wait()  # final latest/best durable before return
-        if self.writer is not None:
-            self.writer.close()
         return {
             "best_val_score": previous_best,
             "last_epoch": final_epoch,

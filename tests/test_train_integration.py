@@ -167,3 +167,45 @@ def test_trainer_warm_resumes_from_reference_pth(data_root, tmp_path):
     assert len(result["history"]) == 1
     assert result["history"][0]["epoch"] == 1
     assert result["best_val_score"] >= 0.12  # previous_best restored
+
+
+def test_midtrain_exception_waits_for_async_checkpoint(data_root, tmp_path):
+    """An exception mid-epoch must not abandon the in-flight async
+    checkpoint: the finally-path drains the writer, so epoch 1's
+    ``latest`` is durable and resumable (regression — the wait only ran
+    on the normal-return path)."""
+    cfg = _cfg(
+        epochs=3,
+        train_path=str(data_root / "train"),
+        val_path=str(data_root / "val"),
+        test_path=str(data_root / "test"),
+    )
+    train_set = PatchDataset(*discover_split(cfg.train_path), cfg)
+    val_set = PatchDataset(*discover_split(cfg.val_path), cfg)
+    save = tmp_path / "boom"
+    trainer = Trainer(cfg, str(save), train_set, val_set)
+
+    real_validation = trainer._run_validation
+    calls = {"n": 0}
+
+    def failing_validation(epoch):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch 2: epoch 1's save is (or was) in flight
+            raise RuntimeError("injected failure")
+        return real_validation(epoch)
+
+    trainer._run_validation = failing_validation
+    with pytest.raises(RuntimeError, match="injected failure"):
+        trainer.train()
+    # the async writer drained: no save thread alive, epoch-1 checkpoint
+    # loads cleanly for auto-resume
+    assert trainer._ckpt_saver._thread is None
+
+    from pdac_pathological_image_segmentation_tpu.train.checkpoint import (
+        restore_checkpoint,
+    )
+    restored = restore_checkpoint(
+        os.path.join(str(save), "pth"), trainer.state)
+    assert restored is not None
+    _, meta = restored
+    assert meta["epoch"] == 0

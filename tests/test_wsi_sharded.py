@@ -127,3 +127,29 @@ def test_sharded_band_input_requires_read_region(setup):
                                   batch_per_device=4, band_input=True)
     with pytest.raises(ValueError, match="read_region"):
         runner.run(src)
+
+
+def test_sharded_band_input_never_decodes_windows(setup):
+    """Band-input mode must plan from ``source.coords`` — calling
+    ``get(i)`` would decode every overlapping window on host, the exact
+    cost the band path exists to avoid (regression)."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(7)
+    slide = rng.integers(0, 256, (320, 96, 3), dtype=np.uint8)
+
+    class CountingTiler(GridTiler):
+        gets = 0
+
+        def get(self, i):
+            type(self).gets += 1
+            return super().get(i)
+
+    tiler = CountingTiler(slide, tile=TILE, stride=16)
+    prob_b, _ = ShardedSlidingWindow(
+        model, state, mesh, tile=TILE, batch_per_device=4,
+        band_input=True).run(tiler)
+    assert CountingTiler.gets == 0
+    prob_ref, _ = SlidingWindowInference(
+        model, state, tile=TILE, batch_size=8, num_workers=2).run(
+        GridTiler(slide, tile=TILE, stride=16))
+    np.testing.assert_allclose(prob_b, prob_ref, atol=2e-5)
