@@ -291,6 +291,7 @@ struct Slide {
   FileReader fr;
   bool big = false;
   std::vector<Level> levels;  // sorted by width desc
+  std::string description;    // tag 270 of the first IFD that carries one
   std::mutex io_mu;           // file reads are serialized; decode is parallel
 
   // LRU cache of DECODED tiles: sliding-window inference reads overlapping
@@ -383,6 +384,18 @@ uint64_t parse_ifd(Slide& s, uint64_t off, std::vector<uint64_t>* subifds) {
       case 258: if (values(e, v) && !v.empty()) lv.bits = static_cast<uint16_t>(v[0]); break;
       case 259: if (values(e, v) && !v.empty()) lv.compression = static_cast<uint16_t>(v[0]); break;
       case 262: if (values(e, v) && !v.empty()) lv.photometric = static_cast<uint16_t>(v[0]); break;
+      case 270: {  // ImageDescription (ASCII): Aperio metadata / MPP
+        std::vector<uint64_t> raw;
+        if (s.description.empty() && values(e, raw) && raw.size() > 1 &&
+            raw.size() <= (1u << 20)) {
+          std::string d(raw.size(), '\0');
+          for (size_t k = 0; k < raw.size(); ++k)
+            d[k] = static_cast<char>(raw[k]);
+          while (!d.empty() && d.back() == '\0') d.pop_back();
+          s.description = d;
+        }
+        break;
+      }
       case 273: values(e, strip_offsets); break;
       case 277: if (values(e, v) && !v.empty()) lv.samples = static_cast<uint16_t>(v[0]); break;
       case 278: if (values(e, v) && !v.empty()) rows_per_strip = static_cast<uint32_t>(v[0]); break;
@@ -644,6 +657,18 @@ int32_t tiff_level_info(void* h, int32_t level, int64_t* info) {
   info[6] = lv.tiles_y();
   info[7] = static_cast<int64_t>(lv.jpeg_tables.size());
   return kOk;
+}
+
+// ImageDescription (tag 270, e.g. Aperio's "...|MPP = 0.25|..."): copies
+// up to `cap` bytes into `out`, returns the full length (0 if absent) so
+// callers can size a buffer and re-call.
+int64_t tiff_description(void* h, uint8_t* out, int64_t cap) {
+  Slide* s = static_cast<Slide*>(h);
+  int64_t n = static_cast<int64_t>(s->description.size());
+  if (out && cap > 0 && n > 0)
+    std::memcpy(out, s->description.data(),
+                static_cast<size_t>(std::min(n, cap)));
+  return n;
 }
 
 int32_t tiff_jpeg_tables(void* h, int32_t level, uint8_t* out) {

@@ -100,6 +100,21 @@ def main(argv=None) -> dict:
     parser.add_argument("--export_tiff", action="store_true",
                         help="also export the probability map as a "
                         "pyramidal tiled TIFF QuPath can overlay")
+    parser.add_argument("--geojson", action="store_true",
+                        help="also export the predicted tumor regions as "
+                        "QuPath-importable GeoJSON annotation polygons "
+                        "(File > Import objects); coordinates are level-0 "
+                        "pixels when --slide is used")
+    parser.add_argument("--geojson_min_area", type=float, default=0.0,
+                        help="drop polygons below this area "
+                        "(level-0 px^2)")
+    parser.add_argument("--geojson_simplify", type=float, default=0.0,
+                        help="Douglas-Peucker tolerance in level-0 px "
+                        "(0 = exact pixel boundaries)")
+    parser.add_argument("--geojson_class", default="Tumor",
+                        help="classification name for the exported "
+                        "annotations (the Groovy exporter's label, "
+                        "QuPath_WSI_to_Patch.groovy:22)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 quantized serving path (all four "
                         "architectures; calibrates activation scales on the first "
@@ -231,6 +246,31 @@ def main(argv=None) -> dict:
     prob, mask = runner.run(source)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
+    if args.geojson:
+        from pdac_pathological_image_segmentation_tpu.data.geojson import (
+            mask_to_polygons,
+            polygons_to_geojson,
+            write_geojson,
+        )
+
+        # mask is at the inference level's resolution; QuPath wants
+        # level-0 pixel coordinates
+        coord_scale = 1.0
+        if args.slide:
+            coord_scale = (slide.dimensions(0)[0]
+                           / slide.dimensions(args.level)[0])
+        polys = mask_to_polygons(
+            mask, min_area=args.geojson_min_area,
+            simplify_tol=args.geojson_simplify, scale=coord_scale,
+        )
+        gj = polygons_to_geojson(
+            polys, class_name=args.geojson_class,
+            measurements={"tumor_fraction": float(mask.mean())},
+        )
+        out_gj = write_geojson(
+            os.path.join(args.save_path, "annotations.geojson"), gj
+        )
+        print(f"geojson: {len(polys)} region(s) -> {out_gj}")
     if args.export_tiff:
         from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
             write_probability_tiff,

@@ -29,6 +29,7 @@ import ctypes
 import hashlib
 import io
 import os
+import re
 import subprocess
 import threading
 from typing import List, Optional, Tuple
@@ -101,6 +102,10 @@ def _get_lib():
         lib.tiff_jpeg_tables.restype = ctypes.c_int32
         lib.tiff_jpeg_tables.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+        ]
+        lib.tiff_description.restype = ctypes.c_int64
+        lib.tiff_description.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.tiff_tile_raw.restype = ctypes.c_int32
         lib.tiff_tile_raw.argtypes = [
@@ -194,6 +199,27 @@ class TiffSlide:
         """(width, height) of ``level``."""
         i = self.level_info[level]
         return i["width"], i["height"]
+
+    @property
+    def description(self) -> str:
+        """ImageDescription (tag 270) of the first IFD carrying one —
+        Aperio/SVS slides put their scanner metadata here."""
+        n = int(self._lib.tiff_description(self._h, None, 0))
+        if n <= 0:
+            return ""
+        buf = ctypes.create_string_buffer(n)
+        self._lib.tiff_description(self._h, buf, n)
+        return buf.raw[:n].decode("utf-8", "replace")
+
+    @property
+    def mpp(self) -> Optional[float]:
+        """Microns-per-pixel at level 0, parsed from the ImageDescription
+        (the Aperio ``|MPP = 0.2498|`` convention); None when the slide
+        doesn't state one.  ``cli/extract.py`` uses this to convert the
+        requested pixel size into a downsample, like the Groovy exporter's
+        ``getAveragedPixelSize()`` (``QuPath_WSI_to_Patch.groovy:16``)."""
+        m = re.search(r"MPP\s*=\s*([0-9]*\.?[0-9]+)", self.description)
+        return float(m.group(1)) if m else None
 
     # -- pixel access ------------------------------------------------------
 

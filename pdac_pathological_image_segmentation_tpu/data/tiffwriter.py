@@ -38,8 +38,9 @@ _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_IMAGE_DESCRIPTION = 270
 # field types
-_SHORT, _LONG, _LONG8 = 3, 4, 16
+_ASCII, _SHORT, _LONG, _LONG8 = 2, 3, 4, 16
 
 
 def _tile_bytes(img: np.ndarray, x: int, y: int, tile: int,
@@ -59,7 +60,9 @@ def _tile_bytes(img: np.ndarray, x: int, y: int, tile: int,
     return raw
 
 
-def _pack_value(type_: int, values: Sequence[int]) -> bytes:
+def _pack_value(type_: int, values) -> bytes:
+    if type_ == _ASCII:
+        return bytes(values)  # NUL-terminated by the caller
     fmt = {_SHORT: "H", _LONG: "I", _LONG8: "Q"}[type_]
     return struct.pack("<" + fmt * len(values), *values)
 
@@ -70,8 +73,10 @@ class _IfdBuilder:
     def __init__(self) -> None:
         self.entries: List[Tuple[int, int, List[int]]] = []
 
-    def add(self, tag: int, type_: int, values: Sequence[int]) -> None:
-        self.entries.append((tag, type_, list(values)))
+    def add(self, tag: int, type_: int, values) -> None:
+        if type_ != _ASCII:
+            values = list(values)
+        self.entries.append((tag, type_, values))
 
     def serialize(self, ifd_off: int, big: bool
                   ) -> Tuple[bytes, bytes, int, int]:
@@ -106,7 +111,8 @@ class _IfdBuilder:
 def write_tiff(path: str, image: np.ndarray, *, tile: int = 256,
                compression: str = "deflate", predictor: bool = False,
                pyramid: bool = True, min_size: int = 256,
-               big: bool = False) -> List[Tuple[int, int]]:
+               big: bool = False,
+               description: Optional[str] = None) -> List[Tuple[int, int]]:
     """Write ``image`` (H×W×3 RGB or H×W grayscale uint8) as a tiled
     (optionally pyramidal) TIFF.  Returns the (width, height) of every
     level written."""
@@ -168,6 +174,9 @@ def write_tiff(path: str, image: np.ndarray, *, tile: int = 256,
             b.add(_PLANAR_CONFIG, _SHORT, [1])
             if pred_code == 2:
                 b.add(_PREDICTOR, _SHORT, [pred_code])
+            if description is not None and lv_img is levels[0]:
+                b.add(_IMAGE_DESCRIPTION, _ASCII,
+                      description.encode() + b"\0")
             b.add(_TILE_WIDTH, _SHORT, [tile])
             b.add(_TILE_LENGTH, _SHORT, [tile])
             b.add(_TILE_OFFSETS, off_type, offsets)

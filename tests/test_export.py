@@ -281,3 +281,44 @@ def test_calib_batches_from_dir(tmp_path):
     assert sum(b.shape[0] for b in batches) == 5
     for b in batches:
         assert b.shape[1:] == (TILE, TILE, 3) and b.dtype == np.uint8
+
+
+def test_overlay_cli_geojson_export(cfg_state, artifact_path, tmp_path):
+    """Full overlay CLI over a real pyramidal slide at --level 1 with
+    --geojson: the exported QuPath annotations, rasterized back at the
+    level's downsample, reproduce the predicted mask exactly."""
+    import yaml
+
+    from pdac_pathological_image_segmentation_tpu.cli.overlay import main
+    from pdac_pathological_image_segmentation_tpu.data.geojson import (
+        parse_geojson,
+        rasterize_shapes,
+    )
+    from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
+        write_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (4 * TILE, 4 * TILE, 3), dtype=np.uint8)
+    slide_path = str(tmp_path / "s.tiff")
+    write_tiff(slide_path, img, tile=2 * TILE, min_size=2 * TILE)
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump({
+        "model": "unet", "backbone": "resnet18", "img_size": TILE,
+        "compute_dtype": "float32", "batch_size": 4, "num_worker": 1}))
+    out = str(tmp_path / "o")
+    res = main(["--config", str(cfg_yaml), "--save_path", out,
+                "--artifact", artifact_path, "--slide", slide_path,
+                "--level", "1", "--geojson"])
+    assert res["n_tiles"] > 0
+
+    import os
+
+    prob = np.load(os.path.join(out, "probability_map.npy"))
+    assert prob.shape == (2 * TILE, 2 * TILE)  # level-1 resolution
+    mask = prob >= 0.5
+    shapes = parse_geojson(os.path.join(out, "annotations.geojson"))
+    # coordinates are level-0; rasterizing back onto the level-1 grid at
+    # the level downsample (2) must reproduce the mask bit-for-bit
+    re_mask = rasterize_shapes(shapes, *mask.shape, scale=2.0)
+    assert np.array_equal(re_mask.astype(bool), mask)
