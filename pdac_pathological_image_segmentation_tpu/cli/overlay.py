@@ -111,6 +111,14 @@ def main(argv=None) -> dict:
     parser.add_argument("--geojson_simplify", type=float, default=0.0,
                         help="Douglas-Peucker tolerance in level-0 px "
                         "(0 = exact pixel boundaries)")
+    parser.add_argument("--min_region", type=float, default=0.0,
+                        help="post-process: drop predicted regions below "
+                        "this area (px^2 at the inference resolution) "
+                        "before rendering/exporting the mask")
+    parser.add_argument("--fill_holes", type=float, default=0.0,
+                        help="post-process: fill holes inside predicted "
+                        "regions below this area (px^2); use a huge value "
+                        "to fill all holes")
     parser.add_argument("--geojson_class", default="Tumor",
                         help="classification name for the exported "
                         "annotations (the Groovy exporter's label, "
@@ -246,6 +254,15 @@ def main(argv=None) -> dict:
     prob, mask = runner.run(source)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
+    if args.min_region or args.fill_holes:
+        from pdac_pathological_image_segmentation_tpu.data.geojson import (
+            clean_mask,
+        )
+
+        # the probability map stays raw; every mask-derived output
+        # (overlay figure, geojson, tumor fraction) uses the cleaned mask
+        mask = clean_mask(mask, min_area=args.min_region,
+                          fill_holes_area=args.fill_holes)
     if args.geojson:
         from pdac_pathological_image_segmentation_tpu.data.geojson import (
             mask_to_polygons,

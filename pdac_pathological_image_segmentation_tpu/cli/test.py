@@ -21,6 +21,12 @@ def main(argv=None) -> dict:
     parser.add_argument("--pth_path", required=True)
     parser.add_argument("--max_figures", type=int, default=None,
                         help="cap figure output (reference renders all)")
+    parser.add_argument("--metrics_csv", default="auto",
+                        help="per-sample dice/iou/precision/recall/"
+                        "specificity/accuracy CSV (+macro/micro summary "
+                        "rows); 'auto' = <save_path>/metrics.csv, 'none' "
+                        "disables (the reference prints only the mean "
+                        "Dice, test.py:182)")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -34,8 +40,14 @@ def main(argv=None) -> dict:
 
     evaluator = Evaluator(cfg, args.pth_path)
     figure_path = os.path.join(args.save_path, "figure")
+    metrics_csv = args.metrics_csv
+    if metrics_csv == "auto":
+        metrics_csv = os.path.join(args.save_path, "metrics.csv")
+    elif metrics_csv == "none":
+        metrics_csv = None
     return evaluator.run(test_set, figure_path=figure_path,
-                         max_figures=args.max_figures)
+                         max_figures=args.max_figures,
+                         metrics_csv=metrics_csv)
 
 
 if __name__ == "__main__":

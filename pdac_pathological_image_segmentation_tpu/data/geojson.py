@@ -393,6 +393,26 @@ def _fill_even_odd(rings: Sequence[np.ndarray], h: int, w: int,
     return (np.cumsum(flips[:, :w], axis=1) % 2).astype(bool)
 
 
+def clean_mask(mask: np.ndarray, *, min_area: float = 0.0,
+               fill_holes_area: float = 0.0) -> np.ndarray:
+    """Morphology-free mask cleanup through the exact polygon pipeline:
+    drop 4-connected foreground regions smaller than ``min_area`` px² and
+    fill enclosed holes smaller than ``fill_holes_area`` px² (``inf`` =
+    fill every hole).  With both thresholds 0 this is the identity
+    (bit-exact round trip).  The standard post-processing step between a
+    thresholded probability map and a clinical overlay/annotation export —
+    the reference has no equivalent (its masks go straight to figures,
+    ``test.py:152-178``)."""
+    m = np.asarray(mask)
+    polys = mask_to_polygons(m, min_area=min_area)
+    shapes: List[Shape] = []
+    for ext, holes in polys:
+        kept = [h for h in holes if -_signed_area(h) >= fill_holes_area]
+        shapes.append((1, [ext] + kept))
+    out = rasterize_shapes(shapes, m.shape[0], m.shape[1])
+    return out.astype(m.dtype) if m.dtype != np.bool_ else out.astype(bool)
+
+
 def rasterize_shapes(shapes: Sequence[Shape], height: int, width: int, *,
                      scale: float = 1.0,
                      offset: Tuple[float, float] = (0.0, 0.0),

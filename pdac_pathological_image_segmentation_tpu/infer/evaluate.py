@@ -26,6 +26,11 @@ from pdac_pathological_image_segmentation_tpu.ops.augment import (
     denormalize,
     eval_transform,
 )
+from pdac_pathological_image_segmentation_tpu.ops.metrics import (
+    METRIC_NAMES,
+    derive_metrics,
+    per_sample_confusion,
+)
 from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -116,6 +121,8 @@ class Evaluator:
 
         stain = cfg.stain
 
+        num_classes = obj.num_classes
+
         @jax.jit
         def step(state, image, mask, valid):
             imgs, msks = eval_transform(image, mask, img_size=img_size,
@@ -127,8 +134,10 @@ class Evaluator:
             loss = obj.loss_fn(out, msks, valid)
             score = obj.score_fn(out, msks, valid)
             preds = obj.predict_fn(out)
+            counts = per_sample_confusion(preds, msks, valid,
+                                          num_classes=num_classes)
             originals = denormalize(imgs.astype(jnp.float32))
-            return loss, score, preds, msks, originals
+            return loss, score, preds, msks, originals, counts
 
         self._step = step
 
@@ -137,7 +146,12 @@ class Evaluator:
         test_set: PatchDataset,
         figure_path: Optional[str] = None,
         max_figures: Optional[int] = None,
+        metrics_csv: Optional[str] = None,
     ) -> dict:
+        """``metrics_csv``: also write per-sample dice/iou/precision/
+        recall/specificity/accuracy rows (plus macro/micro summary rows)
+        to this path — the per-patch detail the reference's single mean
+        Dice printout (``test.py:182``) can't give."""
         cfg = self.cfg
         loader = PatchLoader(
             test_set, cfg.batch_size, shuffle=False,
@@ -148,13 +162,17 @@ class Evaluator:
             os.makedirs(figure_path, exist_ok=True)
         loss_meter, score_meter = AverageMeter(), AverageMeter()
         count = 0
+        all_counts = []  # per-sample confusion rows, in dataset order
         for batch in loader.epoch(0):
-            loss, score, preds, msks, originals = self._step(
+            loss, score, preds, msks, originals, counts = self._step(
                 self.state, batch.image, batch.mask, batch.valid
             )
             # reference updates meters once per batch (test.py:149-150)
             loss_meter.update(float(loss))
             score_meter.update(float(score))
+            counts_h = np.asarray(jax.device_get(counts))
+            valid_np = np.asarray(jax.device_get(batch.valid)).astype(bool)
+            all_counts.append(counts_h[valid_np])
             if figure_path:
                 preds_h = np.asarray(jax.device_get(preds))
                 msks_h = np.asarray(jax.device_get(msks))
@@ -169,10 +187,47 @@ class Evaluator:
                     save_triptych(
                         figure_path, count, orig_h[i], msks_h[i], preds_h[i]
                     )
+        counts_all = (np.concatenate(all_counts, axis=0) if all_counts
+                      else np.zeros((0, 1, 4), np.float32))
+        per_sample = derive_metrics(counts_all)  # each (N, C)
+        micro = derive_metrics(counts_all.sum(axis=0))  # each (C,)
         result = {
             "test_score": score_meter.avg,
             "test_loss": loss_meter.avg,
             "n_figures": count,
+            "n_samples": int(counts_all.shape[0]),
+            # class-averaged micro (pooled-pixel) metrics
+            "metrics": {k: float(np.mean(v)) for k, v in micro.items()},
         }
+        if metrics_csv:
+            self._write_metrics_csv(metrics_csv, test_set, counts_all,
+                                    per_sample, micro)
+            result["metrics_csv"] = metrics_csv
         print(f"Test Score: {result['test_score']} Test Loss: {result['test_loss']}")
         return result
+
+    def _write_metrics_csv(self, path, test_set, counts_all, per_sample,
+                           micro) -> None:
+        n, c = counts_all.shape[:2]
+        # column order: metric-major, class-minor; binary drops the suffix
+        header = ["sample", "path"] + [
+            m if c == 1 else f"{m}_c{ci}"
+            for m in METRIC_NAMES for ci in range(c)
+        ]
+        img_paths = list(getattr(test_set, "img_paths", [])) or [""] * n
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(",".join(header) + "\n")
+            for i in range(n):
+                vals = [f"{per_sample[m][i, ci]:.6f}"
+                        for m in METRIC_NAMES for ci in range(c)]
+                base = os.path.basename(str(img_paths[i])) if i < len(
+                    img_paths) else ""
+                f.write(",".join([str(i), base] + vals) + "\n")
+            macro = [f"{float(np.mean(per_sample[m][:, ci])):.6f}"
+                     if n else "nan"
+                     for m in METRIC_NAMES for ci in range(c)]
+            f.write(",".join(["macro", ""] + macro) + "\n")
+            mic = [f"{float(micro[m][ci]):.6f}"
+                   for m in METRIC_NAMES for ci in range(c)]
+            f.write(",".join(["micro", ""] + mic) + "\n")

@@ -247,3 +247,34 @@ def test_rasterize_fractional_polygon_centers():
     # half-open tie convention → filled iff x+y ≤ 7
     want = np.add.outer(np.arange(8), np.arange(8)) <= 7
     assert np.array_equal(out.astype(bool), want)
+
+
+def test_clean_mask_min_region_and_fill_holes():
+    from pdac_pathological_image_segmentation_tpu.data.geojson import (
+        clean_mask,
+    )
+
+    m = np.zeros((32, 32), bool)
+    m[2:22, 2:22] = True      # 400-px region
+    m[5:8, 5:8] = False       # 9-px hole (small)
+    m[10:20, 10:20] = False   # 100-px hole (big)
+    m[26, 26] = True          # 1-px speck
+
+    # identity with both thresholds off
+    assert np.array_equal(clean_mask(m), m)
+
+    out = clean_mask(m, min_area=4.0)
+    assert not out[26, 26]                  # speck dropped
+    assert not out[6, 6] and not out[15, 15]  # holes untouched
+
+    out = clean_mask(m, fill_holes_area=50.0)
+    assert out[6, 6]        # small hole filled
+    assert not out[15, 15]  # big hole kept
+    assert out[26, 26]      # speck kept
+
+    out = clean_mask(m, min_area=4.0, fill_holes_area=np.inf)
+    assert out[6, 6] and out[15, 15] and not out[26, 26]
+    assert out.dtype == np.bool_
+
+    u8 = clean_mask(m.astype(np.uint8), min_area=4.0)
+    assert u8.dtype == np.uint8 and set(np.unique(u8)) <= {0, 1}
