@@ -69,6 +69,11 @@ def main(argv=None) -> dict:
                         "--banded/--tta/--slide")
     parser.add_argument("--tta", action="store_true",
                         help="dihedral-8 test-time augmentation")
+    parser.add_argument("--uncertainty", action="store_true",
+                        help="with --tta: also export the per-pixel TTA "
+                        "disagreement map (variance across the 8 dihedral "
+                        "predictions, overlap-blended) as "
+                        "uncertainty_map.npy — zero extra forward passes")
     parser.add_argument("--blend", default="uniform",
                         choices=("uniform", "hann", "pyramid"),
                         help="overlap blend window (PyHIST tiles don't "
@@ -215,6 +220,12 @@ def main(argv=None) -> dict:
     if args.sharded and args.banded:
         raise SystemExit("--sharded and --banded are mutually exclusive "
                          "(the sharded runner is already banded per chip)")
+    if args.uncertainty and not args.tta:
+        raise SystemExit("--uncertainty needs --tta (it is the variance "
+                         "across the 8 TTA predictions)")
+    if args.uncertainty and (args.sharded or args.banded):
+        raise SystemExit("--uncertainty currently needs the single-canvas "
+                         "runner (drop --sharded/--banded)")
     # under --artifact the runners never touch model/state: the serving
     # program (weights baked in) IS the infer_step
     ev_model = evaluator.model if evaluator else None
@@ -249,11 +260,28 @@ def main(argv=None) -> dict:
             ev_model, ev_state, tile=cfg.img_size,
             batch_size=max(cfg.batch_size, 8), tta=args.tta, blend=args.blend,
             num_workers=cfg.num_worker, stain=cfg.stain,
-            infer_step=infer_step,
+            infer_step=infer_step, uncertainty=args.uncertainty,
         )
-    prob, mask = runner.run(source)
+    out_maps = runner.run(source)
+    prob, mask = out_maps[0], out_maps[1]
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
+    if args.uncertainty:
+        unc = out_maps[2]
+        np.save(os.path.join(args.save_path, "uncertainty_map.npy"), unc)
+        if args.export_tiff:
+            from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
+                write_probability_tiff,
+            )
+
+            # variance of a [0,1] mean caps at 0.25 — scale to use the
+            # 8-bit range
+            write_probability_tiff(
+                os.path.join(args.save_path, "uncertainty_map.tiff"),
+                np.clip(unc * 4.0, 0.0, 1.0),
+            )
+        print(f"uncertainty map (mean {float(unc.mean()):.5f}, "
+              f"max {float(unc.max()):.5f}) -> uncertainty_map.npy")
     if args.min_region or args.fill_holes:
         from pdac_pathological_image_segmentation_tpu.data.geojson import (
             clean_mask,

@@ -21,8 +21,10 @@ TPU-first execution design:
 
 Endpoints (see :class:`_Handler`): ``GET /healthz``, ``GET /v1/metadata``,
 ``GET /v1/stats``, ``POST /v1/segment`` (PNG/JPEG body or raw uint8 with
-``X-Image-Shape``; response is an 8-bit probability PNG or raw float32
-under ``Accept: application/octet-stream``, with ``X-Tumor-Fraction``).
+``X-Image-Shape``; response is an 8-bit probability PNG, raw float32
+under ``Accept: application/octet-stream``, or QuPath-importable
+annotation polygons under ``Accept: application/geo+json`` — always with
+``X-Tumor-Fraction``).
 """
 
 from __future__ import annotations
@@ -335,6 +337,19 @@ class _Handler(BaseHTTPRequestHandler):
         if "application/octet-stream" in accept:
             payload = probs.astype(np.float32).tobytes()
             ctype = "application/octet-stream"
+        elif "geo+json" in accept:
+            # QuPath-importable annotation polygons in tile-local pixel
+            # coordinates (exact pixel-boundary tracing, data/geojson.py)
+            from pdac_pathological_image_segmentation_tpu.data.geojson import (
+                mask_to_polygons,
+                polygons_to_geojson,
+            )
+
+            fc = polygons_to_geojson(
+                mask_to_polygons(probs >= threshold),
+                measurements={"tumor_fraction": tumor_fraction})
+            payload = json.dumps(fc).encode()
+            ctype = "application/geo+json"
         else:
             from PIL import Image
 

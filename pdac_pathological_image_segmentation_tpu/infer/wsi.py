@@ -169,13 +169,23 @@ class PyHISTTileSource:
 # ---------------------------------------------------------------------------
 
 
-def _make_tta_infer(infer_step, tta: bool):
-    """Wrap a tile→prob step with dihedral-8 TTA, averaged on device."""
+def _make_tta_infer(infer_step, tta: bool, with_variance: bool = False):
+    """Wrap a tile→prob step with dihedral-8 TTA, averaged on device.
+
+    ``with_variance=True`` additionally returns the per-pixel population
+    variance across the 8 transform predictions — a zero-extra-forward
+    uncertainty signal (transform disagreement): the step already computes
+    all 8 predictions, so mean+variance come from running sum/sum-of-
+    squares accumulators with no extra memory beyond one more tile batch.
+    """
     if not tta:
+        if with_variance:
+            raise ValueError("uncertainty maps require tta=True "
+                             "(variance across the dihedral-8 passes)")
         return infer_step
 
     def step(state, images):
-        total = None
+        total = total_sq = None
         for flip in (False, True):
             imgs = images[:, :, ::-1, :] if flip else images
             for k in range(4):
@@ -186,7 +196,14 @@ def _make_tta_infer(infer_step, tta: bool):
                 if flip:
                     p = p[:, :, ::-1]
                 total = p if total is None else total + p
-        return total / 8.0
+                if with_variance:
+                    psq = p * p
+                    total_sq = psq if total_sq is None else total_sq + psq
+        mean = total / 8.0
+        if not with_variance:
+            return mean
+        var = jnp.maximum(total_sq / 8.0 - mean * mean, 0.0)
+        return mean, var
 
     return jax.jit(step)
 
@@ -203,10 +220,15 @@ class SlidingWindowInference:
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  tta: bool = False, blend: str = "hann",
                  num_workers: int = 8, stain: str = "none",
-                 infer_step=None) -> None:
+                 infer_step=None, uncertainty: bool = False) -> None:
         """``infer_step``: optional ``step(state, images_u8) → probs``
         override replacing the default fused tile→mask step — e.g. the
-        int8 quantized path (``infer/quantized.py``)."""
+        int8 quantized path (``infer/quantized.py``).
+
+        ``uncertainty=True`` (requires ``tta``) stitches a second canvas
+        of per-pixel TTA disagreement (variance across the 8 dihedral
+        predictions, overlap-blended with the same weights); ``run``
+        then returns ``(prob, mask, uncertainty)``."""
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -215,8 +237,10 @@ class SlidingWindowInference:
         self.tile = tile
         self.batch_size = batch_size
         self.blend = blend
+        self.uncertainty = uncertainty
         self._infer = _make_tta_infer(
-            infer_step or make_infer_step(model, tile, stain=stain), tta
+            infer_step or make_infer_step(model, tile, stain=stain), tta,
+            with_variance=uncertainty,
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
@@ -230,21 +254,36 @@ class SlidingWindowInference:
             # the final partial chunk compiles once for its own shape
             yield images, coords
 
-    def run(self, source) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns host (prob_map, binary_mask), each canvas_hw."""
-        accum = weight = None
+    def run(self, source) -> Tuple[np.ndarray, ...]:
+        """Returns host (prob_map, binary_mask), each canvas_hw — plus an
+        uncertainty map when constructed with ``uncertainty=True``."""
+        accum = weight = var_accum = var_weight = None
         for images, coords in self._batches(source):
-            probs = self._infer(self.state, jnp.asarray(images))
+            out = self._infer(self.state, jnp.asarray(images))
+            probs, vars_ = out if self.uncertainty else (out, None)
             coords_d = jnp.asarray(coords)
             if accum is None:
                 accum, weight = stitch_tiles(
                     probs, coords_d, canvas_hw=tuple(source.canvas_hw),
                     blend=self.blend,
                 )
+                if vars_ is not None:
+                    var_accum, var_weight = stitch_tiles(
+                        vars_, coords_d, canvas_hw=tuple(source.canvas_hw),
+                        blend=self.blend,
+                    )
             else:
                 accum, weight = stitch_tiles_into(
                     accum, weight, probs, coords_d, blend=self.blend
                 )
+                if vars_ is not None:
+                    # own weight canvas: stitch_tiles_into donates its
+                    # canvas args, so the prob path's `weight` cannot be
+                    # shared (it would be deleted under us)
+                    var_accum, var_weight = stitch_tiles_into(
+                        var_accum, var_weight, vars_, coords_d,
+                        blend=self.blend,
+                    )
         if accum is None:
             raise ValueError("tile source is empty")
         prob, mask = finalize_canvas(accum, weight)
@@ -252,7 +291,12 @@ class SlidingWindowInference:
         mask = np.asarray(jax.device_get(mask))
         # crop back any tiler padding (slides smaller than one tile)
         oh, ow = getattr(source, "orig_hw", prob.shape[:2])
-        return prob[:oh, :ow], mask[:oh, :ow]
+        if not self.uncertainty:
+            return prob[:oh, :ow], mask[:oh, :ow]
+        w = jnp.maximum(var_weight, 1e-12)
+        unc = np.asarray(jax.device_get(var_accum / w))
+        unc = np.where(np.asarray(jax.device_get(var_weight)) > 0, unc, 0.0)
+        return prob[:oh, :ow], mask[:oh, :ow], unc[:oh, :ow]
 
 
 class BandedSlidingWindow:

@@ -217,3 +217,32 @@ def test_batcher_stop_unblocks(artifact):
     b = MicroBatcher(artifact, buckets=(1,))
     with pytest.raises(RuntimeError, match="not running"):
         b.submit(np.zeros((TILE, TILE, 3), np.uint8))
+
+
+def test_geojson_response(server, artifact):
+    """Accept: application/geo+json returns QuPath annotation polygons
+    that rasterize back to the thresholded probability map exactly."""
+    from pdac_pathological_image_segmentation_tpu.data.geojson import (
+        parse_geojson,
+        rasterize_shapes,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (TILE, TILE, 3), dtype=np.uint8)
+    resp = _post(server, img.tobytes(), {
+        "Content-Type": "application/octet-stream",
+        "X-Image-Shape": f"{TILE},{TILE},3",
+        "Accept": "application/geo+json",
+    })
+    assert resp.headers["Content-Type"] == "application/geo+json"
+    fc = json.loads(resp.read())
+    assert fc["type"] == "FeatureCollection"
+    direct = np.asarray(artifact(img[None]), np.float32)[0]
+    mask = direct >= 0.5
+    shapes = parse_geojson(fc)
+    re_mask = rasterize_shapes(shapes, TILE, TILE).astype(bool)
+    assert np.array_equal(re_mask, mask)
+    if fc["features"]:
+        meas = fc["features"][0]["properties"]["measurements"]
+        assert meas["tumor_fraction"] == pytest.approx(
+            float(resp.headers["X-Tumor-Fraction"]), abs=1e-5)

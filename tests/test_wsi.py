@@ -392,3 +392,53 @@ def test_band_input_requires_read_region(model_and_state):
                                band_h=TILE)
     prob, mask = auto.run(src)
     assert prob.shape == src.canvas_hw
+
+
+def test_tta_uncertainty_map(model_and_state):
+    """uncertainty=True returns a third map equal to the hand-computed
+    population variance across the 8 dihedral predictions, and the
+    prob/mask outputs are unchanged vs uncertainty=False."""
+    model, state = model_and_state
+    rng = np.random.default_rng(7)
+    slide = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=TILE)  # 4 disjoint tiles
+
+    # batch_size < n tiles: exercises the stitch_tiles_into accumulation
+    # path (separate donated canvases for prob and variance)
+    base = SlidingWindowInference(model, state, tile=TILE, batch_size=2,
+                                  tta=True, blend="uniform", num_workers=1)
+    with_unc = SlidingWindowInference(model, state, tile=TILE, batch_size=2,
+                                      tta=True, blend="uniform",
+                                      num_workers=1, uncertainty=True)
+    prob0, mask0 = base.run(tiler)
+    prob1, mask1, unc = with_unc.run(tiler)
+    np.testing.assert_allclose(prob1, prob0, atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(mask1, mask0)
+    assert unc.shape == prob1.shape
+    assert (unc >= 0).all() and unc.max() <= 0.25 + 1e-6
+
+    # hand-compute the 8-transform variance for the first tile
+    img, _ = tiler.get(0)
+    imgs = img[None]
+    plain = SlidingWindowInference(model, state, tile=TILE, batch_size=1,
+                                   tta=False, blend="uniform", num_workers=1)
+    preds = []
+    for flip in (False, True):
+        b = imgs[:, :, ::-1, :] if flip else imgs
+        for k in range(4):
+            rot = np.rot90(b, k, axes=(1, 2))
+            p = np.asarray(plain._infer(state, jnp.asarray(rot.copy())))
+            p = np.rot90(p, -k, axes=(1, 2))
+            if flip:
+                p = p[:, :, ::-1]
+            preds.append(p[0])
+    stack = np.stack(preds)
+    want_var = stack.var(axis=0)
+    np.testing.assert_allclose(unc[:TILE, :TILE], want_var, atol=1e-5)
+
+
+def test_uncertainty_requires_tta(model_and_state):
+    model, state = model_and_state
+    with pytest.raises(ValueError, match="tta"):
+        SlidingWindowInference(model, state, tile=TILE, tta=False,
+                               uncertainty=True)
