@@ -223,9 +223,9 @@ def main(argv=None) -> dict:
     if args.uncertainty and not args.tta:
         raise SystemExit("--uncertainty needs --tta (it is the variance "
                          "across the 8 TTA predictions)")
-    if args.uncertainty and (args.sharded or args.banded):
-        raise SystemExit("--uncertainty currently needs the single-canvas "
-                         "runner (drop --sharded/--banded)")
+    if args.uncertainty and args.sharded:
+        raise SystemExit("--uncertainty supports the single-canvas and "
+                         "--banded runners (drop --sharded)")
     # under --artifact the runners never touch model/state: the serving
     # program (weights baked in) IS the infer_step
     ev_model = evaluator.model if evaluator else None
@@ -254,6 +254,7 @@ def main(argv=None) -> dict:
             batch_size=max(cfg.batch_size, 8), band_h=args.band_h,
             tta=args.tta, blend=args.blend, num_workers=cfg.num_worker,
             stain=cfg.stain, infer_step=infer_step,
+            uncertainty=args.uncertainty,
         )
     else:
         runner = SlidingWindowInference(

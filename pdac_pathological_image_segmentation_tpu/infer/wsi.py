@@ -329,14 +329,20 @@ class BandedSlidingWindow:
                  band_h: Optional[int] = None, tta: bool = False,
                  blend: str = "hann", num_workers: int = 8,
                  stain: str = "none", infer_step=None,
-                 band_input: Optional[bool] = None) -> None:
+                 band_input: Optional[bool] = None,
+                 uncertainty: bool = False) -> None:
         """``infer_step``: optional ``step(state, images_u8) → probs``
         override replacing the default fused tile→mask step — e.g. the
         int8 quantized path (``infer.quantized.make_quantized_infer_fn``).
 
         ``band_input``: upload band pixels once and slice windows on device
         (requires ``source.read_region``); ``None`` = auto-detect per
-        source, ``False`` = always upload windows individually."""
+        source, ``False`` = always upload windows individually.
+
+        ``uncertainty=True`` (requires ``tta``) streams a TTA-disagreement
+        map alongside the probabilities (same banded O(band) memory — two
+        extra band canvases); ``run`` returns ``(prob, mask,
+        uncertainty)``."""
         from pdac_pathological_image_segmentation_tpu.train.steps import (
             make_infer_step,
         )
@@ -348,8 +354,10 @@ class BandedSlidingWindow:
         assert self.band_h >= tile
         self.blend = blend
         self.band_input = band_input
+        self.uncertainty = uncertainty
         self._infer = _make_tta_infer(
-            infer_step or make_infer_step(model, tile, stain=stain), tta
+            infer_step or make_infer_step(model, tile, stain=stain), tta,
+            with_variance=uncertainty,
         )
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
@@ -389,11 +397,16 @@ class BandedSlidingWindow:
                 local = np.concatenate(
                     [local, np.zeros((bs - k, 2), np.int32)])
             imgs = self._extract(band_dev, jnp.asarray(local))
-            probs = self._infer(self.state, imgs)
-            yield probs[:k], local[:k]
+            out = self._infer(self.state, imgs)
+            if isinstance(out, tuple):  # uncertainty: (mean, variance)
+                yield (out[0][:k], out[1][:k]), local[:k]
+            else:
+                yield out[:k], local[:k]
 
     def run(self, source, prob_dtype=np.float16
-            ) -> Tuple[np.ndarray, np.ndarray]:
+            ) -> Tuple[np.ndarray, ...]:
+        """Returns (prob, mask) — plus a TTA-disagreement map when
+        constructed with ``uncertainty=True``."""
         h, w = source.canvas_hw
         tile, band_h = self.tile, self.band_h
         n = len(source)
@@ -435,6 +448,11 @@ class BandedSlidingWindow:
         mask_out = np.zeros((h, w), dtype=np.uint8)
         accum = jnp.zeros((band_h + tile, w), jnp.float32)
         weight = jnp.zeros((band_h + tile, w), jnp.float32)
+        unc_out = var_accum = var_weight = None
+        if self.uncertainty:
+            unc_out = np.zeros((h, w), dtype=prob_dtype)
+            var_accum = jnp.zeros((band_h + tile, w), jnp.float32)
+            var_weight = jnp.zeros((band_h + tile, w), jnp.float32)
         try:
             for b in range(n_bands):
                 y0 = b * band_h
@@ -455,25 +473,48 @@ class BandedSlidingWindow:
                     )
                 else:
                     batches = ()
-                for probs, local in batches:
+                for out, local in batches:
+                    probs, vars_ = (out if self.uncertainty
+                                    else (out, None))
+                    local_d = jnp.asarray(local)
                     accum, weight = stitch_tiles_into(
                         accum, weight, probs.astype(jnp.float32),
-                        jnp.asarray(local), blend=self.blend,
+                        local_d, blend=self.blend,
                     )
+                    if vars_ is not None:
+                        # own weight canvas — stitch_tiles_into donates
+                        # its canvas args (see SlidingWindowInference.run)
+                        var_accum, var_weight = stitch_tiles_into(
+                            var_accum, var_weight,
+                            vars_.astype(jnp.float32), local_d,
+                            blend=self.blend,
+                        )
                 rows = min(band_h, h - y0)
                 prob, mask = finalize_canvas(accum[:band_h], weight[:band_h])
                 prob_out[y0:y0 + rows] = np.asarray(
                     jax.device_get(prob[:rows])).astype(prob_dtype)
                 mask_out[y0:y0 + rows] = np.asarray(
                     jax.device_get(mask[:rows]))
+                if self.uncertainty:
+                    vw = jnp.maximum(var_weight[:band_h], 1e-12)
+                    band_unc = jnp.where(var_weight[:band_h] > 0,
+                                         var_accum[:band_h] / vw, 0.0)
+                    unc_out[y0:y0 + rows] = np.asarray(
+                        jax.device_get(band_unc[:rows])).astype(prob_dtype)
                 if b + 1 < n_bands:
                     accum = roll(accum)
                     weight = roll(weight)
+                    if self.uncertainty:
+                        var_accum = roll(var_accum)
+                        var_weight = roll(var_weight)
         finally:
             if fetcher is not None:
                 fetcher.shutdown(wait=False)
         oh, ow = getattr(source, "orig_hw", (h, w))
-        return prob_out[:oh, :ow], mask_out[:oh, :ow]
+        if not self.uncertainty:
+            return prob_out[:oh, :ow], mask_out[:oh, :ow]
+        return (prob_out[:oh, :ow], mask_out[:oh, :ow],
+                unc_out[:oh, :ow])
 
 
 def overlay_figure(

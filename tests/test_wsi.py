@@ -442,3 +442,32 @@ def test_uncertainty_requires_tta(model_and_state):
     with pytest.raises(ValueError, match="tta"):
         SlidingWindowInference(model, state, tile=TILE, tta=False,
                                uncertainty=True)
+
+
+def test_banded_uncertainty_matches_plain(model_and_state):
+    """BandedSlidingWindow(uncertainty=True) over multiple bands equals
+    the single-canvas runner's maps (incl. the band-input path)."""
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+
+    model, state = model_and_state
+    rng = np.random.default_rng(11)
+    slide = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=TILE // 2)  # 2x overlap
+
+    plain = SlidingWindowInference(model, state, tile=TILE, batch_size=4,
+                                   tta=True, blend="hann", num_workers=1,
+                                   uncertainty=True)
+    prob0, mask0, unc0 = plain.run(tiler)
+    for band_input in (False, True):
+        banded = BandedSlidingWindow(
+            model, state, tile=TILE, batch_size=4, band_h=TILE,
+            tta=True, blend="hann", num_workers=1, uncertainty=True,
+            band_input=band_input)
+        prob1, mask1, unc1 = banded.run(tiler, prob_dtype=np.float32)
+        np.testing.assert_allclose(prob1, prob0, atol=1e-5, rtol=0,
+                                   err_msg=f"band_input={band_input}")
+        np.testing.assert_array_equal(mask1, mask0)
+        np.testing.assert_allclose(unc1, unc0, atol=1e-5, rtol=0,
+                                   err_msg=f"band_input={band_input}")
