@@ -379,7 +379,9 @@ def _fill_even_odd(rings: Sequence[np.ndarray], h: int, w: int,
         x = (ring[:, 0] - ox) / scale
         y = (ring[:, 1] - oy) / scale
         x1, y1, x2, y2 = x[:-1], y[:-1], x[1:], y[1:]
-        keep = y1 != y2
+        # untrusted GeoJSON: drop horizontal and non-finite segments
+        keep = ((y1 != y2) & np.isfinite(x1) & np.isfinite(y1)
+                & np.isfinite(x2) & np.isfinite(y2))
         for ax, ay, bx, by in zip(x1[keep], y1[keep], x2[keep], y2[keep]):
             ylo, yhi = (ay, by) if ay < by else (by, ay)
             r0 = max(0, int(math.ceil(ylo - 0.5)))
@@ -423,6 +425,8 @@ def rasterize_shapes(shapes: Sequence[Shape], height: int, width: int, *,
     overwrite earlier — "the order matters").  ``scale`` is the downsample
     (level-0 units per output pixel) and ``offset=(x, y)`` the level-0
     coordinate of the output's top-left corner."""
+    if not (scale > 0 and math.isfinite(scale)):
+        raise ValueError(f"scale must be positive and finite, got {scale}")
     mask = np.zeros((height, width), dtype)
     for label, rings in shapes:
         inside = _fill_even_odd(rings, height, width, scale, offset)

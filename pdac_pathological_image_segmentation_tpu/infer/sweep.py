@@ -39,9 +39,17 @@ def run_sweep(
     sharded: bool = False,
     out_dir: Optional[str] = None,
     infer_step=None,
+    geojson: bool = False,
+    geojson_min_area: float = 0.0,
+    geojson_simplify: float = 0.0,
 ) -> List[Dict]:
     """Segment every slide; returns per-slide result dicts
     (mask/prob optionally saved to ``out_dir`` instead of kept in memory).
+
+    ``geojson=True`` additionally polygonizes each slide's mask into
+    QuPath-importable annotations (``data/geojson.py``): written as
+    ``slide_{i:04d}_annotations.geojson`` under ``out_dir``, or returned
+    under ``rec["geojson"]``.
 
     ``sharded=True`` uses the banded-canvas halo-exchange path
     (``wsi_sharded``) — worthwhile for slides whose canvas does not fit one
@@ -100,5 +108,24 @@ def run_sweep(
         else:
             rec["prob"] = prob
             rec["mask"] = mask
+        if geojson:
+            from pdac_pathological_image_segmentation_tpu.data.geojson import (
+                mask_to_polygons,
+                polygons_to_geojson,
+                write_geojson,
+            )
+
+            fc = polygons_to_geojson(
+                mask_to_polygons(mask, min_area=geojson_min_area,
+                                 simplify_tol=geojson_simplify),
+                measurements={"tumor_fraction": rec["tumor_fraction"]},
+            )
+            rec["n_regions"] = len(fc["features"])
+            if out_dir:
+                write_geojson(
+                    os.path.join(out_dir,
+                                 f"slide_{i:04d}_annotations.geojson"), fc)
+            else:
+                rec["geojson"] = fc
         results.append(rec)
     return results
