@@ -60,15 +60,17 @@ def _boundary_edges(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
 
     starts: List[np.ndarray] = []
     dirs: List[np.ndarray] = []
-    # (exposure, start-vertex offset as (dy, dx) from the pixel, dir code)
+    # (neighbor slice, start-vertex offset (dy, dx) from the pixel, dir
+    # code); exposures are computed one at a time — a gigapixel mask's
+    # temporaries stay at one H×W bool, not four
     specs = (
-        (m & ~pad[:-2, 1:-1], 0, 0, 0),   # top edge:    (x,   y)   -> +x
-        (m & ~pad[1:-1, 2:], 0, 1, 1),    # right edge:  (x+1, y)   -> +y
-        (m & ~pad[2:, 1:-1], 1, 1, 2),    # bottom edge: (x+1, y+1) -> -x
-        (m & ~pad[1:-1, :-2], 1, 0, 3),   # left edge:   (x,   y+1) -> -y
+        ((slice(None, -2), slice(1, -1)), 0, 0, 0),  # top:    (x,y)     +x
+        ((slice(1, -1), slice(2, None)), 0, 1, 1),   # right:  (x+1,y)   +y
+        ((slice(2, None), slice(1, -1)), 1, 1, 2),   # bottom: (x+1,y+1) -x
+        ((slice(1, -1), slice(None, -2)), 1, 0, 3),  # left:   (x,y+1)   -y
     )
-    for exposed, dy, dx, code in specs:
-        ys, xs = np.nonzero(exposed)
+    for nb, dy, dx, code in specs:
+        ys, xs = np.nonzero(m & ~pad[nb])
         starts.append((ys + dy) * stride + (xs + dx))
         dirs.append(np.full(ys.shape, code, np.int64))
     sv = np.concatenate(starts) if starts else np.empty(0, np.int64)
@@ -428,7 +430,25 @@ def rasterize_shapes(shapes: Sequence[Shape], height: int, width: int, *,
     if not (scale > 0 and math.isfinite(scale)):
         raise ValueError(f"scale must be positive and finite, got {scale}")
     mask = np.zeros((height, width), dtype)
+    ox, oy = offset
     for label, rings in shapes:
-        inside = _fill_even_odd(rings, height, width, scale, offset)
-        mask[inside] = label
+        # fill only the shape's bounding box — a cohort of small polygons
+        # on a gigapixel canvas must not pay O(shapes × canvas)
+        pts = np.concatenate([r for r in rings], axis=0)
+        finite = np.isfinite(pts).all(axis=1)
+        if not finite.any():
+            continue
+        pts = pts[finite]
+        x_lo = max(0, int(math.floor((pts[:, 0].min() - ox) / scale)) - 1)
+        y_lo = max(0, int(math.floor((pts[:, 1].min() - oy) / scale)) - 1)
+        x_hi = min(width, int(math.ceil((pts[:, 0].max() - ox) / scale)) + 1)
+        y_hi = min(height,
+                   int(math.ceil((pts[:, 1].max() - oy) / scale)) + 1)
+        if x_hi <= x_lo or y_hi <= y_lo:
+            continue
+        inside = _fill_even_odd(
+            rings, y_hi - y_lo, x_hi - x_lo, scale,
+            (ox + x_lo * scale, oy + y_lo * scale))
+        view = mask[y_lo:y_hi, x_lo:x_hi]
+        view[inside] = label
     return mask
