@@ -223,9 +223,6 @@ def main(argv=None) -> dict:
     if args.uncertainty and not args.tta:
         raise SystemExit("--uncertainty needs --tta (it is the variance "
                          "across the 8 TTA predictions)")
-    if args.uncertainty and args.sharded:
-        raise SystemExit("--uncertainty supports the single-canvas and "
-                         "--banded runners (drop --sharded)")
     # under --artifact the runners never touch model/state: the serving
     # program (weights baked in) IS the infer_step
     ev_model = evaluator.model if evaluator else None
@@ -242,7 +239,7 @@ def main(argv=None) -> dict:
                 1, max(cfg.batch_size, 8) // evaluator.mesh.devices.size
             ),
             tta=args.tta, blend=args.blend, stain=cfg.stain,
-            infer_step=infer_step,
+            infer_step=infer_step, uncertainty=args.uncertainty,
         )
     elif args.banded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi import (

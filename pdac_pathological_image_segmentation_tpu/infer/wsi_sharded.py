@@ -44,21 +44,42 @@ from pdac_pathological_image_segmentation_tpu.ops.stitch import blend_window
 from pdac_pathological_image_segmentation_tpu.parallel.mesh import DATA_AXIS
 
 
-def _band_accumulate(accum, weight, probs, coords_local, valid, win):
-    """Scan-accumulate tiles into the (band_h + tile)-row local buffer."""
+def _band_accumulate(accum, weight, probs, coords_local, valid, win,
+                     var_accum=None, vars_=None):
+    """Scan-accumulate tiles into the (band_h + tile)-row local buffer.
+
+    With ``var_accum``/``vars_`` a TTA-variance canvas accumulates with
+    the SAME blend weights (one shared weight canvas — everything lives
+    inside one jit, so no donation aliasing)."""
     tile = probs.shape[-1]
+    with_var = var_accum is not None
 
     def body(carry, inp):
-        acc, wgt = carry
-        p, yx, v = inp
+        if with_var:
+            acc, wgt, vac = carry
+            p, pv, yx, v = inp
+        else:
+            acc, wgt = carry
+            p, yx, v = inp
         y, x = yx[0], yx[1]
         w_eff = win * v.astype(jnp.float32)
         patch = jax.lax.dynamic_slice(acc, (y, x), (tile, tile))
         acc = jax.lax.dynamic_update_slice(acc, patch + p * w_eff, (y, x))
         wpatch = jax.lax.dynamic_slice(wgt, (y, x), (tile, tile))
         wgt = jax.lax.dynamic_update_slice(wgt, wpatch + w_eff, (y, x))
+        if with_var:
+            vpatch = jax.lax.dynamic_slice(vac, (y, x), (tile, tile))
+            vac = jax.lax.dynamic_update_slice(
+                vac, vpatch + pv * w_eff, (y, x))
+            return (acc, wgt, vac), None
         return (acc, wgt), None
 
+    if with_var:
+        (accum, weight, var_accum), _ = jax.lax.scan(
+            body, (accum, weight, var_accum),
+            (probs, vars_, coords_local, valid)
+        )
+        return accum, weight, var_accum
     (accum, weight), _ = jax.lax.scan(
         body, (accum, weight), (probs, coords_local, valid)
     )
@@ -72,7 +93,8 @@ class ShardedSlidingWindow:
     def __init__(self, model, state, mesh: Mesh, tile: int = 512,
                  batch_per_device: int = 8, blend: str = "hann",
                  tta: bool = False, stain: str = "none",
-                 infer_step=None, band_input: bool | None = None) -> None:
+                 infer_step=None, band_input: bool | None = None,
+                 uncertainty: bool = False) -> None:
         """``infer_step``: optional raw ``step(state, images_u8) → probs``
         override replacing the default fused tile→mask step — e.g. the
         int8 quantized path (``infer.quantized.make_quantized_infer_fn``);
@@ -100,10 +122,12 @@ class ShardedSlidingWindow:
         self.batch_per_device = batch_per_device
         self.blend = blend
         self.band_input = band_input
+        self.uncertainty = uncertainty
         self.state = state
         # raw (unjitted) tile→probs fn; it is traced inside the shard_map
         raw_infer = infer_step or make_infer_step(model, tile, stain=stain)
-        self._infer = _make_tta_infer(raw_infer, tta)
+        self._infer = _make_tta_infer(raw_infer, tta,
+                                      with_variance=uncertainty)
 
     # ------------------------------------------------------------------
 
@@ -138,7 +162,10 @@ class ShardedSlidingWindow:
         axis = DATA_AXIS
         d = self.n_devices
 
-        def per_device(state, accum, weight, images, coords_local, valid):
+        unc = self.uncertainty
+
+        def per_device(state, accum, weight, var_accum, images,
+                       coords_local, valid):
             # accum/weight: (1, band_h + tile, W); images: (1, bpd, t, t, 3)
             # Purely local: tiles accumulate into the band + its trailing
             # halo rows; the single ICI halo exchange happens once per
@@ -146,18 +173,26 @@ class ShardedSlidingWindow:
             # so deferring the ppermute is exact and uses D−1 ICI messages
             # per slide instead of per chunk).
             accum, weight = accum[0], weight[0]
-            probs = infer(state, images[0])  # (bpd, t, t) f32
+            out = infer(state, images[0])  # (bpd, t, t) f32
+            if unc:
+                probs, vars_ = out
+                accum, weight, va = _band_accumulate(
+                    accum, weight, probs, coords_local[0], valid[0], win,
+                    var_accum=var_accum[0], vars_=vars_,
+                )
+                return accum[None], weight[None], va[None]
             accum, weight = _band_accumulate(
-                accum, weight, probs, coords_local[0], valid[0], win
+                accum, weight, out, coords_local[0], valid[0], win
             )
-            return accum[None], weight[None]
+            return accum[None], weight[None], var_accum
 
         sharded = jax.shard_map(
             per_device, mesh=self.mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
         )
-        return jax.jit(sharded, donate_argnums=(1, 2))
+        return jax.jit(sharded, donate_argnums=(1, 2, 3))
 
     def _build_step_band(self, band_h: int, canvas_w: int):
         """Band-input chunk program: windows are sliced from the chip's
@@ -168,7 +203,10 @@ class ShardedSlidingWindow:
         infer = self._infer
         axis = DATA_AXIS
 
-        def per_device(state, accum, weight, band, coords_local, valid):
+        unc = self.uncertainty
+
+        def per_device(state, accum, weight, var_accum, band,
+                       coords_local, valid):
             # accum/weight: (1, band_h + tile, W); band: (1, band_h + tile,
             # W, 3) u8 — this chip's slide rows, uploaded once per run
             accum, weight = accum[0], weight[0]
@@ -176,18 +214,26 @@ class ShardedSlidingWindow:
                 lambda c: jax.lax.dynamic_slice(
                     band[0], (c[0], c[1], 0), (tile, tile, 3))
             )(coords_local[0])
-            probs = infer(state, images)  # (bpd, t, t) f32
+            out = infer(state, images)  # (bpd, t, t) f32
+            if unc:
+                probs, vars_ = out
+                accum, weight, va = _band_accumulate(
+                    accum, weight, probs, coords_local[0], valid[0], win,
+                    var_accum=var_accum[0], vars_=vars_,
+                )
+                return accum[None], weight[None], va[None]
             accum, weight = _band_accumulate(
-                accum, weight, probs, coords_local[0], valid[0], win
+                accum, weight, out, coords_local[0], valid[0], win
             )
-            return accum[None], weight[None]
+            return accum[None], weight[None], var_accum
 
         sharded = jax.shard_map(
             per_device, mesh=self.mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
         )
-        return jax.jit(sharded, donate_argnums=(1, 2))
+        return jax.jit(sharded, donate_argnums=(1, 2, 3))
 
     def _shard_bands(self, source, band_h: int, canvas_w: int):
         """Assemble the (D, band_h + tile, W, 3) uint8 band array directly
@@ -212,7 +258,9 @@ class ShardedSlidingWindow:
         axis = DATA_AXIS
         d = self.n_devices
 
-        def per_device(accum, weight):
+        unc = self.uncertainty
+
+        def per_device(accum, weight, var_accum):
             accum, weight = accum[0], weight[0]
             # halo: the trailing `tile` rows belong to the NEXT band
             perm = [(i, i + 1) for i in range(d - 1)]
@@ -220,20 +268,30 @@ class ShardedSlidingWindow:
             recv_w = jax.lax.ppermute(weight[band_h:], axis, perm)
             accum = accum.at[:tile].add(recv_a)
             weight = weight.at[:tile].add(recv_w)
-            return accum[None, :band_h], weight[None, :band_h]
+            if unc:
+                va = var_accum[0]
+                recv_v = jax.lax.ppermute(va[band_h:], axis, perm)
+                va = va.at[:tile].add(recv_v)
+                return (accum[None, :band_h], weight[None, :band_h],
+                        va[None, :band_h])
+            return (accum[None, :band_h], weight[None, :band_h],
+                    var_accum[:, :band_h])
 
         sharded = jax.shard_map(
             per_device, mesh=self.mesh,
-            in_specs=(P(axis), P(axis)), out_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
         )
-        return jax.jit(sharded, donate_argnums=(0, 1))
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
 
-    def run(self, source) -> Tuple[np.ndarray, np.ndarray]:
+    def run(self, source) -> Tuple[np.ndarray, ...]:
         """Predict + stitch a tile source (same protocol as
         ``infer.wsi``: ``len``, ``get(i) → (tile_u8, (y, x))``,
-        ``canvas_hw``).  Returns host (prob_map, binary_mask)."""
+        ``canvas_hw``).  Returns host (prob_map, binary_mask) — plus a
+        TTA-disagreement map when constructed with
+        ``uncertainty=True``."""
         h, w = source.canvas_hw
         n = len(source)
         # tile sources expose .coords (GridTiler, TiffSlideSource) — use it
@@ -265,6 +323,13 @@ class ShardedSlidingWindow:
         weight = jax.device_put(
             jnp.zeros((d, band_h + tile, w), jnp.float32), band_shard
         )
+        # variance canvas (same blend weights as accum); a (d, 1, 1) dummy
+        # threads through the fixed program signature when uncertainty is
+        # off — no O(band) memory spent
+        var_shape = (d, band_h + tile, w) if self.uncertainty else (d, 1, 1)
+        var_accum = jax.device_put(
+            jnp.zeros(var_shape, jnp.float32), band_shard
+        )
 
         for start in range(0, max_n, bpd):
             images = (None if use_band
@@ -286,14 +351,14 @@ class ShardedSlidingWindow:
                     vl[b, j] = True
             pixels = (band_px if use_band
                       else jax.device_put(images, band_shard))
-            accum, weight = step(
-                self.state, accum, weight, pixels,
+            accum, weight, var_accum = step(
+                self.state, accum, weight, var_accum, pixels,
                 jax.device_put(jnp.asarray(cl), band_shard),
                 jax.device_put(jnp.asarray(vl), band_shard),
             )
 
         finalize = self._build_finalize(band_h)
-        accum, weight = finalize(accum, weight)
+        accum, weight, var_accum = finalize(accum, weight, var_accum)
         accum_h = np.asarray(jax.device_get(accum))
         weight_h = np.asarray(jax.device_get(weight))
         accum_full = accum_h.reshape(d * band_h, w)[:h]
@@ -303,4 +368,12 @@ class ShardedSlidingWindow:
         # crop back any tiler padding (slides smaller than one tile)
         oh, ow = getattr(source, "orig_hw", prob.shape[:2])
         prob = prob[:oh, :ow]
-        return prob.astype(np.float32), (prob >= 0.5).astype(np.uint8)
+        mask = (prob >= 0.5).astype(np.uint8)
+        if not self.uncertainty:
+            return prob.astype(np.float32), mask
+        var_h = np.asarray(jax.device_get(var_accum)).reshape(
+            d * band_h, w)[:h]
+        unc = np.where(weight_full > 0,
+                       var_h / np.maximum(weight_full, 1e-12), 0.0)
+        return (prob.astype(np.float32), mask,
+                unc[:oh, :ow].astype(np.float32))

@@ -153,3 +153,28 @@ def test_sharded_band_input_never_decodes_windows(setup):
         model, state, tile=TILE, batch_size=8, num_workers=2).run(
         GridTiler(slide, tile=TILE, stride=16))
     np.testing.assert_allclose(prob_b, prob_ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("band_input", [False, True])
+def test_sharded_uncertainty_matches_single_device(setup, band_input):
+    """uncertainty=True over the mesh (incl. the variance halo exchange)
+    equals the single-canvas runner's three maps."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(3)
+    slide = rng.integers(0, 256, (320, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)  # 2x overlap
+
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend="hann", num_workers=2, tta=True,
+                                    uncertainty=True)
+    prob_ref, mask_ref, unc_ref = single.run(tiler)
+
+    sharded = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                   batch_per_device=4, blend="hann",
+                                   tta=True, uncertainty=True,
+                                   band_input=band_input)
+    prob, mask, unc = sharded.run(tiler)
+    np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
+    np.testing.assert_array_equal(mask, mask_ref)
+    assert unc.shape == unc_ref.shape
+    np.testing.assert_allclose(unc, unc_ref, atol=2e-5)
