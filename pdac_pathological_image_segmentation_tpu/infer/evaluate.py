@@ -30,6 +30,8 @@ from pdac_pathological_image_segmentation_tpu.ops.metrics import (
     METRIC_NAMES,
     derive_metrics,
     per_sample_confusion,
+    prob_histograms,
+    threshold_sweep,
 )
 from pdac_pathological_image_segmentation_tpu.parallel.mesh import (
     batch_sharding,
@@ -137,7 +139,13 @@ class Evaluator:
             counts = per_sample_confusion(preds, msks, valid,
                                           num_classes=num_classes)
             originals = denormalize(imgs.astype(jnp.float32))
-            return loss, score, preds, msks, originals, counts
+            if num_classes == 1:
+                # tumor probability exactly as predict_fn thresholds it
+                probs = jax.nn.sigmoid(out[..., 0].astype(jnp.float32))
+                hists = prob_histograms(probs, msks, valid)
+            else:
+                hists = jnp.zeros((2, 256), jnp.float32)
+            return loss, score, preds, msks, originals, counts, hists
 
         self._step = step
 
@@ -147,11 +155,19 @@ class Evaluator:
         figure_path: Optional[str] = None,
         max_figures: Optional[int] = None,
         metrics_csv: Optional[str] = None,
+        sweep_csv: Optional[str] = None,
     ) -> dict:
         """``metrics_csv``: also write per-sample dice/iou/precision/
         recall/specificity/accuracy rows (plus macro/micro summary rows)
         to this path — the per-patch detail the reference's single mean
-        Dice printout (``test.py:182``) can't give."""
+        Dice printout (``test.py:182``) can't give.
+
+        ``sweep_csv`` (binary models): write the operating-point sweep —
+        pooled dice/iou/precision/recall/specificity/accuracy at all 257
+        thresholds ``k/256`` — and report the Dice-optimal threshold in
+        the result (``best_threshold``/``best_dice``).  The reference
+        hard-codes 0.5 (``test.py:143``); the sweep costs one extra
+        histogram pass inside the same jit step."""
         cfg = self.cfg
         loader = PatchLoader(
             test_set, cfg.batch_size, shuffle=False,
@@ -163,10 +179,12 @@ class Evaluator:
         loss_meter, score_meter = AverageMeter(), AverageMeter()
         count = 0
         all_counts = []  # per-sample confusion rows, in dataset order
+        hist_total = np.zeros((2, 256), np.float64)
         for batch in loader.epoch(0):
-            loss, score, preds, msks, originals, counts = self._step(
+            loss, score, preds, msks, originals, counts, hists = self._step(
                 self.state, batch.image, batch.mask, batch.valid
             )
+            hist_total += np.asarray(jax.device_get(hists), np.float64)
             # reference updates meters once per batch (test.py:149-150)
             loss_meter.update(float(loss))
             score_meter.update(float(score))
@@ -203,8 +221,27 @@ class Evaluator:
             self._write_metrics_csv(metrics_csv, test_set, counts_all,
                                     per_sample, micro)
             result["metrics_csv"] = metrics_csv
+        if self.objective.num_classes == 1 and hist_total.sum() > 0:
+            sweep = threshold_sweep(hist_total)
+            best = int(np.argmax(sweep["dice"]))
+            result["best_threshold"] = float(sweep["threshold"][best])
+            result["best_dice"] = float(sweep["dice"][best])
+            # k=128 is exactly the reference's prob >= 0.5 rule
+            result["dice_at_0.5"] = float(sweep["dice"][128])
+            if sweep_csv:
+                self._write_sweep_csv(sweep_csv, sweep)
+                result["sweep_csv"] = sweep_csv
         print(f"Test Score: {result['test_score']} Test Loss: {result['test_loss']}")
         return result
+
+    def _write_sweep_csv(self, path, sweep) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        cols = ("threshold",) + METRIC_NAMES
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for i in range(len(sweep["threshold"])):
+                f.write(",".join(f"{float(sweep[c][i]):.6f}"
+                                 for c in cols) + "\n")
 
     def _write_metrics_csv(self, path, test_set, counts_all, per_sample,
                            micro) -> None:

@@ -61,6 +61,68 @@ def per_sample_confusion(preds: jax.Array, masks: jax.Array,
     return counts
 
 
+def prob_histograms(probs: jax.Array, masks: jax.Array,
+                    valid: Optional[jax.Array] = None,
+                    bins: int = 256) -> jax.Array:
+    """Class-split probability histograms for threshold sweeps.
+
+    ``probs``: (N, H, W) predicted tumor probabilities in [0, 1]
+    (the sigmoid the reference thresholds at 0.5, ``test.py:143``);
+    ``masks``: (N, H, W) ground truth.  Returns float32 ``(2, bins)`` —
+    row 0 counts pixels whose ground truth is negative, row 1 positive,
+    bucketed by ``floor(prob * bins)`` (clipped into the last bin).
+
+    One scatter-add pass over the pixels buys the confusion counts at
+    *every* threshold ``k / bins`` at once (see
+    :func:`threshold_sweep`): because ``floor`` is monotone,
+    ``prob >= k/bins  ⇔  bucket >= k``, so a suffix sum over the
+    histogram is exact — no per-threshold re-pass over the image, which
+    is the TPU-friendly way to sweep operating points.
+
+    Padded samples (``valid == 0``) contribute zero weight.
+    """
+    probs = probs.astype(jnp.float32)
+    idx = jnp.clip((probs * bins).astype(jnp.int32), 0, bins - 1)
+    pos = (masks > 0).astype(jnp.int32)
+    flat = (pos * bins + idx).reshape(-1)
+    if valid is None:
+        w = jnp.ones(flat.shape, jnp.float32)
+    else:
+        w = jnp.broadcast_to(
+            valid.astype(jnp.float32)[:, None, None], probs.shape
+        ).reshape(-1)
+    hist = jnp.zeros((2 * bins,), jnp.float32).at[flat].add(w)
+    return hist.reshape(2, bins)
+
+
+def threshold_sweep(hists, smooth: float = SMOOTH) -> Dict[str, "object"]:
+    """Metric family at every threshold from class-split histograms.
+
+    ``hists``: ``(2, bins)`` totals from :func:`prob_histograms`
+    (accumulated over the whole test set).  Returns a dict of numpy
+    arrays of shape ``(bins + 1,)``: ``"threshold"`` (``k / bins`` for
+    ``k = 0..bins``, predicted positive iff ``prob >= threshold``) plus
+    every :data:`METRIC_NAMES` entry derived from the exact pooled
+    confusion counts at that threshold.  Runs host-side — the inputs
+    are tiny once the pixel pass is done on device.
+    """
+    import numpy as np
+
+    hists = np.asarray(hists, np.float64)
+    neg, pos = hists[0], hists[1]
+    bins = neg.shape[0]
+    # suffix sums: predicted positive at threshold k/bins ⇔ bucket >= k
+    tp = np.concatenate([np.cumsum(pos[::-1])[::-1], [0.0]])
+    fp = np.concatenate([np.cumsum(neg[::-1])[::-1], [0.0]])
+    fn = pos.sum() - tp
+    tn = neg.sum() - fp
+    counts = np.stack([tp, fp, fn, tn], axis=-1)  # (bins+1, 4)
+    out = {k: np.asarray(v) for k, v in
+           derive_metrics(counts, smooth=smooth).items()}
+    out["threshold"] = np.arange(bins + 1, dtype=np.float64) / bins
+    return out
+
+
 def derive_metrics(counts: jax.Array | "object",
                    smooth: float = SMOOTH) -> Dict[str, jax.Array]:
     """Metric family from ``[..., 4]`` = [tp, fp, fn, tn] counts.
