@@ -28,6 +28,7 @@ from pdac_pathological_image_segmentation_tpu.ops.augment import (
 )
 from pdac_pathological_image_segmentation_tpu.ops.metrics import (
     METRIC_NAMES,
+    SWEEP_BINS,
     derive_metrics,
     per_sample_confusion,
     prob_histograms,
@@ -144,7 +145,7 @@ class Evaluator:
                 probs = jax.nn.sigmoid(out[..., 0].astype(jnp.float32))
                 hists = prob_histograms(probs, msks, valid)
             else:
-                hists = jnp.zeros((2, 256), jnp.float32)
+                hists = jnp.zeros((2, SWEEP_BINS + 1), jnp.int32)
             return loss, score, preds, msks, originals, counts, hists
 
         self._step = step
@@ -179,7 +180,7 @@ class Evaluator:
         loss_meter, score_meter = AverageMeter(), AverageMeter()
         count = 0
         all_counts = []  # per-sample confusion rows, in dataset order
-        hist_total = np.zeros((2, 256), np.float64)
+        hist_total = np.zeros((2, SWEEP_BINS + 1), np.float64)
         for batch in loader.epoch(0):
             loss, score, preds, msks, originals, counts, hists = self._step(
                 self.state, batch.image, batch.mask, batch.valid
@@ -226,8 +227,8 @@ class Evaluator:
             best = int(np.argmax(sweep["dice"]))
             result["best_threshold"] = float(sweep["threshold"][best])
             result["best_dice"] = float(sweep["dice"][best])
-            # k=128 is exactly the reference's prob >= 0.5 rule
-            result["dice_at_0.5"] = float(sweep["dice"][128])
+            # k=bins/2 is exactly the reference's prob >= 0.5 rule
+            result["dice_at_0.5"] = float(sweep["dice"][SWEEP_BINS // 2])
             if sweep_csv:
                 self._write_sweep_csv(sweep_csv, sweep)
                 result["sweep_csv"] = sweep_csv

@@ -31,6 +31,11 @@ from pdac_pathological_image_segmentation_tpu.ops.dice import SMOOTH
 METRIC_NAMES = ("dice", "iou", "precision", "recall", "specificity",
                 "accuracy")
 
+#: default threshold-sweep resolution: thresholds ``k / SWEEP_BINS`` for
+#: ``k = 0..SWEEP_BINS`` (histograms carry ``SWEEP_BINS + 1`` buckets so
+#: ``prob == 1.0`` gets its own bucket — see :func:`prob_histograms`)
+SWEEP_BINS = 256
+
 
 def per_sample_confusion(preds: jax.Array, masks: jax.Array,
                          valid: Optional[jax.Array] = None,
@@ -63,42 +68,45 @@ def per_sample_confusion(preds: jax.Array, masks: jax.Array,
 
 def prob_histograms(probs: jax.Array, masks: jax.Array,
                     valid: Optional[jax.Array] = None,
-                    bins: int = 256) -> jax.Array:
+                    bins: int = SWEEP_BINS) -> jax.Array:
     """Class-split probability histograms for threshold sweeps.
 
     ``probs``: (N, H, W) predicted tumor probabilities in [0, 1]
     (the sigmoid the reference thresholds at 0.5, ``test.py:143``);
-    ``masks``: (N, H, W) ground truth.  Returns float32 ``(2, bins)`` —
+    ``masks``: (N, H, W) ground truth.  Returns int32 ``(2, bins + 1)`` —
     row 0 counts pixels whose ground truth is negative, row 1 positive,
-    bucketed by ``floor(prob * bins)`` (clipped into the last bin).
+    bucketed by ``min(floor(prob * bins), bins)``: ``prob == 1.0``
+    (float32 sigmoid saturates for logits ≳ 16.6) lands in its own
+    bucket ``bins``, so ``prob >= k/bins  ⇔  bucket >= k`` holds exactly
+    for **every** ``k = 0..bins``, including the threshold-1.0 row.
 
     One scatter-add pass over the pixels buys the confusion counts at
-    *every* threshold ``k / bins`` at once (see
-    :func:`threshold_sweep`): because ``floor`` is monotone,
-    ``prob >= k/bins  ⇔  bucket >= k``, so a suffix sum over the
-    histogram is exact — no per-threshold re-pass over the image, which
-    is the TPU-friendly way to sweep operating points.
+    *every* threshold ``k / bins`` at once (see :func:`threshold_sweep`)
+    — no per-threshold re-pass over the image, which is the TPU-friendly
+    way to sweep operating points.  Counts accumulate in int32 (exact up
+    to 2^31 − 1 pixels per bin per batch; float32 would silently lose
+    counts past 2^24).
 
     Padded samples (``valid == 0``) contribute zero weight.
     """
     probs = probs.astype(jnp.float32)
-    idx = jnp.clip((probs * bins).astype(jnp.int32), 0, bins - 1)
+    idx = jnp.clip((probs * bins).astype(jnp.int32), 0, bins)
     pos = (masks > 0).astype(jnp.int32)
-    flat = (pos * bins + idx).reshape(-1)
+    flat = (pos * (bins + 1) + idx).reshape(-1)
     if valid is None:
-        w = jnp.ones(flat.shape, jnp.float32)
+        w = jnp.ones(flat.shape, jnp.int32)
     else:
         w = jnp.broadcast_to(
-            valid.astype(jnp.float32)[:, None, None], probs.shape
+            valid.astype(jnp.int32)[:, None, None], probs.shape
         ).reshape(-1)
-    hist = jnp.zeros((2 * bins,), jnp.float32).at[flat].add(w)
-    return hist.reshape(2, bins)
+    hist = jnp.zeros((2 * (bins + 1),), jnp.int32).at[flat].add(w)
+    return hist.reshape(2, bins + 1)
 
 
 def threshold_sweep(hists, smooth: float = SMOOTH) -> Dict[str, "object"]:
     """Metric family at every threshold from class-split histograms.
 
-    ``hists``: ``(2, bins)`` totals from :func:`prob_histograms`
+    ``hists``: ``(2, bins + 1)`` totals from :func:`prob_histograms`
     (accumulated over the whole test set).  Returns a dict of numpy
     arrays of shape ``(bins + 1,)``: ``"threshold"`` (``k / bins`` for
     ``k = 0..bins``, predicted positive iff ``prob >= threshold``) plus
@@ -110,10 +118,11 @@ def threshold_sweep(hists, smooth: float = SMOOTH) -> Dict[str, "object"]:
 
     hists = np.asarray(hists, np.float64)
     neg, pos = hists[0], hists[1]
-    bins = neg.shape[0]
+    bins = neg.shape[0] - 1
     # suffix sums: predicted positive at threshold k/bins ⇔ bucket >= k
-    tp = np.concatenate([np.cumsum(pos[::-1])[::-1], [0.0]])
-    fp = np.concatenate([np.cumsum(neg[::-1])[::-1], [0.0]])
+    # (exact for every k incl. k == bins: prob == 1.0 owns bucket `bins`)
+    tp = np.cumsum(pos[::-1])[::-1]
+    fp = np.cumsum(neg[::-1])[::-1]
     fn = pos.sum() - tp
     tn = neg.sum() - fp
     counts = np.stack([tp, fp, fn, tn], axis=-1)  # (bins+1, 4)

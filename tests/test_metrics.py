@@ -8,8 +8,11 @@ import jax.numpy as jnp
 
 from pdac_pathological_image_segmentation_tpu.ops.metrics import (
     METRIC_NAMES,
+    SWEEP_BINS,
     derive_metrics,
     per_sample_confusion,
+    prob_histograms,
+    threshold_sweep,
 )
 
 
@@ -81,6 +84,55 @@ def test_multiclass_one_vs_rest():
     assert counts[0, 1].tolist() == [1, 0, 1, 2]
     # class 2: tp=1 fp=1 fn=0 tn=2
     assert counts[0, 2].tolist() == [1, 1, 0, 2]
+
+
+def test_prob_histogram_saturated_probs_own_bucket():
+    """probs == 1.0 land in bucket `bins` (not clipped into bins-1), so
+    the threshold-1.0 sweep row counts them as predicted-positive
+    (ADVICE r3: float32 sigmoid saturates to exactly 1.0 for logits
+    ≳ 16.6)."""
+    probs = jnp.asarray([[[1.0, 1.0], [0.5, 0.0]]])
+    masks = jnp.asarray([[[1, 0], [1, 0]]])
+    hist = np.asarray(prob_histograms(probs, masks))
+    assert hist.shape == (2, SWEEP_BINS + 1)
+    assert hist.dtype == np.int32  # exact counts (no f32 2^24 ceiling)
+    assert hist[1, SWEEP_BINS] == 1 and hist[0, SWEEP_BINS] == 1
+    sweep = threshold_sweep(hist)
+    # at threshold 1.0: both prob-1.0 pixels predicted positive → tp=1 fp=1
+    m = {k: float(v[-1]) for k, v in sweep.items()}
+    assert m["threshold"] == 1.0
+    assert m["recall"] == pytest.approx(1 / 2)  # tp=1 of 2 positives
+    assert m["precision"] == pytest.approx(1 / 2)  # tp=1, fp=1
+
+
+def test_threshold_sweep_matches_direct_thresholding():
+    """Every sweep row equals confusion counts from direct thresholding
+    at k/bins (suffix-sum exactness), on random probabilities."""
+    rng = np.random.default_rng(7)
+    probs = rng.random((2, 8, 8)).astype(np.float32)
+    probs.flat[:5] = 1.0  # include saturated values
+    masks = (rng.random((2, 8, 8)) > 0.5).astype(np.int32)
+    hist = np.asarray(prob_histograms(jnp.asarray(probs),
+                                      jnp.asarray(masks)))
+    sweep = threshold_sweep(hist, smooth=0.0)
+    for k in (0, 1, 128, 255, 256):
+        t = k / SWEEP_BINS
+        pred = probs >= t
+        tp = int((pred & (masks > 0)).sum())
+        fp = int((pred & (masks == 0)).sum())
+        fn = int((~pred & (masks > 0)).sum())
+        denom = 2 * tp + fp + fn
+        want = 2 * tp / denom if denom else 1.0
+        assert float(sweep["dice"][k]) == pytest.approx(want, abs=1e-9), k
+
+
+def test_prob_histogram_valid_mask_and_totals():
+    probs = jnp.full((3, 4, 4), 0.7)
+    masks = jnp.ones((3, 4, 4), jnp.int32)
+    valid = jnp.asarray([1, 1, 0])
+    hist = np.asarray(prob_histograms(probs, masks, valid))
+    assert hist.sum() == 2 * 16  # padded sample contributes nothing
+    assert hist[1].sum() == 32 and hist[0].sum() == 0
 
 
 def test_evaluator_metrics_csv(tmp_path):
