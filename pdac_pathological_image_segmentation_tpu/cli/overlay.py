@@ -128,6 +128,14 @@ def main(argv=None) -> dict:
                         help="classification name for the exported "
                         "annotations (the Groovy exporter's label, "
                         "QuPath_WSI_to_Patch.groovy:22)")
+    parser.add_argument("--threshold", default="0.5",
+                        help="tumor probability threshold for every "
+                        "mask-derived output (overlay, geojson, tumor "
+                        "fraction): a float, or 'auto' to calibrate the "
+                        "Dice-optimal threshold on the config's val split "
+                        "via the 257-point sweep (needs --pth_path and "
+                        "val_path; the reference hard-codes 0.5, "
+                        "test.py:143)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 quantized serving path (all four "
                         "architectures; calibrates activation scales on the first "
@@ -158,6 +166,37 @@ def main(argv=None) -> dict:
     evaluator = None
     if not args.artifact:
         evaluator = Evaluator(cfg, args.pth_path)
+
+    if args.threshold == "auto":
+        if evaluator is None:
+            raise SystemExit("--threshold auto calibrates on the val split "
+                             "through the checkpointed model — it needs "
+                             "--pth_path, not --artifact")
+        if not cfg.val_path:
+            raise SystemExit("--threshold auto needs val_path in the config")
+        from pdac_pathological_image_segmentation_tpu.data.discovery import (
+            discover_split,
+        )
+        from pdac_pathological_image_segmentation_tpu.data.loader import (
+            PatchDataset,
+        )
+
+        val_imgs, val_masks = discover_split(cfg.val_path)
+        cal = evaluator.run(PatchDataset(val_imgs, val_masks, cfg),
+                            verbose=False)
+        if "best_threshold" not in cal:
+            raise SystemExit("--threshold auto needs a binary objective "
+                             "(the sweep is sigmoid-threshold calibration)")
+        threshold = float(cal["best_threshold"])
+        print(f"calibrated threshold {threshold:.6f} on "
+              f"{cal['n_samples']} val patches "
+              f"(val dice {cal['best_dice']:.4f} vs "
+              f"{cal['dice_at_0.5']:.4f} at 0.5)")
+    else:
+        threshold = float(args.threshold)
+        if not 0.0 <= threshold <= 1.0:
+            raise SystemExit(f"--threshold must be in [0, 1], "
+                             f"got {threshold}")
     if args.slide:
         from pdac_pathological_image_segmentation_tpu.data.tiffslide import (
             TiffSlide,
@@ -262,6 +301,12 @@ def main(argv=None) -> dict:
         )
     out_maps = runner.run(source)
     prob, mask = out_maps[0], out_maps[1]
+    if threshold != 0.5:
+        # runners threshold the blended probability map at the reference's
+        # 0.5 (test.py:143); a calibrated/explicit threshold re-derives the
+        # mask from the same probabilities — bitwise consistent with what
+        # the device path would produce at that threshold
+        mask = (prob >= threshold).astype(mask.dtype)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
     if args.uncertainty:
@@ -332,7 +377,8 @@ def main(argv=None) -> dict:
     tumor_frac = float(mask.mean())
     print(f"overlay written to {out} (tumor fraction {tumor_frac:.4f}, "
           f"{len(source)} tiles)")
-    return {"overlay": out, "tumor_fraction": tumor_frac, "n_tiles": len(source)}
+    return {"overlay": out, "tumor_fraction": tumor_frac,
+            "n_tiles": len(source), "threshold": threshold}
 
 
 if __name__ == "__main__":

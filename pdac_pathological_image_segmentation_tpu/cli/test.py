@@ -27,6 +27,13 @@ def main(argv=None) -> dict:
                         "rows); 'auto' = <save_path>/metrics.csv, 'none' "
                         "disables (the reference prints only the mean "
                         "Dice, test.py:182)")
+    parser.add_argument("--sweep_csv", default="auto",
+                        help="operating-point calibration CSV (binary "
+                        "models): pooled metrics at all 257 thresholds "
+                        "k/256, plus a printed Dice-optimal threshold; "
+                        "'auto' = <save_path>/threshold_sweep.csv, 'none' "
+                        "disables (the reference hard-codes 0.5, "
+                        "test.py:143)")
     args = parser.parse_args(argv)
 
     from pdac_pathological_image_segmentation_tpu.utils.cache import (
@@ -45,9 +52,20 @@ def main(argv=None) -> dict:
         metrics_csv = os.path.join(args.save_path, "metrics.csv")
     elif metrics_csv == "none":
         metrics_csv = None
-    return evaluator.run(test_set, figure_path=figure_path,
-                         max_figures=args.max_figures,
-                         metrics_csv=metrics_csv)
+    sweep_csv = args.sweep_csv
+    if sweep_csv == "auto":
+        sweep_csv = os.path.join(args.save_path, "threshold_sweep.csv")
+    elif sweep_csv == "none":
+        sweep_csv = None
+    result = evaluator.run(test_set, figure_path=figure_path,
+                           max_figures=args.max_figures,
+                           metrics_csv=metrics_csv,
+                           sweep_csv=sweep_csv)
+    if "best_threshold" in result:
+        print(f"Best threshold: {result['best_threshold']:.6f} "
+              f"(dice {result['best_dice']:.6f}; "
+              f"dice@0.5 {result['dice_at_0.5']:.6f})")
+    return result
 
 
 if __name__ == "__main__":

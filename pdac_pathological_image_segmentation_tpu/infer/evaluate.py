@@ -157,6 +157,7 @@ class Evaluator:
         max_figures: Optional[int] = None,
         metrics_csv: Optional[str] = None,
         sweep_csv: Optional[str] = None,
+        verbose: bool = True,
     ) -> dict:
         """``metrics_csv``: also write per-sample dice/iou/precision/
         recall/specificity/accuracy rows (plus macro/micro summary rows)
@@ -232,7 +233,9 @@ class Evaluator:
             if sweep_csv:
                 self._write_sweep_csv(sweep_csv, sweep)
                 result["sweep_csv"] = sweep_csv
-        print(f"Test Score: {result['test_score']} Test Loss: {result['test_loss']}")
+        if verbose:
+            print(f"Test Score: {result['test_score']} "
+                  f"Test Loss: {result['test_loss']}")
         return result
 
     def _write_sweep_csv(self, path, sweep) -> None:

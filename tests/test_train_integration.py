@@ -209,3 +209,69 @@ def test_midtrain_exception_waits_for_async_checkpoint(data_root, tmp_path):
     assert restored is not None
     _, meta = restored
     assert meta["epoch"] == 0
+
+
+def test_cli_test_threshold_sweep(trained, data_root, tmp_path):
+    """cli/test.py emits the operating-point calibration: a 257-row sweep
+    CSV plus the Dice-optimal threshold next to the reference's fixed-0.5
+    score (VERDICT r3 item 8; reference hard-codes 0.5 at test.py:143)."""
+    import yaml
+
+    from pdac_pathological_image_segmentation_tpu.cli.test import main
+
+    cfg, save, _ = trained
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump({
+        "model": cfg.model, "img_size": cfg.img_size,
+        "batch_size": cfg.batch_size, "seed": cfg.seed,
+        "num_worker": cfg.num_worker, "compute_dtype": "float32",
+        "test_path": str(data_root / "test"),
+    }))
+    out = tmp_path / "out"
+    res = main(["--config", str(cfg_yaml), "--save_path", str(out),
+                "--pth_path", os.path.join(save, "pth"),
+                "--max_figures", "0"])
+    assert 0.0 < res["best_threshold"] < 1.0
+    # the optimum can't be worse than the fixed rule it generalizes
+    assert res["best_dice"] >= res["dice_at_0.5"] > 0.0
+    lines = open(res["sweep_csv"]).read().strip().split("\n")
+    assert lines[0].startswith("threshold,dice,iou,")
+    assert len(lines) == 258  # header + k/256 for k=0..256
+
+
+def test_overlay_cli_threshold_auto(trained, data_root, tmp_path):
+    """overlay --threshold auto calibrates on the val split and re-derives
+    every mask output at the calibrated operating point."""
+    import yaml
+
+    from pdac_pathological_image_segmentation_tpu.cli.overlay import main
+    from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
+        write_tiff,
+    )
+
+    cfg, save, _ = trained
+    rng = np.random.default_rng(3)
+    slide_px = rng.integers(0, 256, (128, 192, 3), dtype=np.uint8)
+    slide = tmp_path / "slide.tiff"
+    write_tiff(str(slide), slide_px, tile=64, pyramid=False)
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump({
+        "model": cfg.model, "img_size": cfg.img_size,
+        "batch_size": cfg.batch_size, "seed": cfg.seed,
+        "num_worker": cfg.num_worker, "compute_dtype": "float32",
+        "val_path": str(data_root / "val"),
+    }))
+    out = tmp_path / "ov"
+    res = main(["--config", str(cfg_yaml), "--save_path", str(out),
+                "--pth_path", os.path.join(save, "pth"),
+                "--slide", str(slide), "--threshold", "auto"])
+    prob = np.load(out / "probability_map.npy")
+    # the overlay's tumor fraction reflects the calibrated threshold
+    assert res["tumor_fraction"] == pytest.approx(
+        float((prob >= res["threshold"]).mean()))
+    assert 0.0 < res["threshold"] < 1.0
+
+    with pytest.raises(SystemExit, match="in \\[0, 1\\]"):
+        main(["--config", str(cfg_yaml), "--save_path", str(out),
+              "--pth_path", os.path.join(save, "pth"),
+              "--slide", str(slide), "--threshold", "1.5"])
