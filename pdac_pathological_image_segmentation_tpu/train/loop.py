@@ -149,9 +149,10 @@ class Trainer:
             print(
                 "note: encoder starts from random init — the reference "
                 "always starts from ImageNet (models/resunet.py:12). "
-                "Convert torchvision weights offline with "
-                "scripts/convert_torchvision_resnet18.py and set "
-                "`pretrained_path` to match its accuracy trajectory."
+                "One-time setup: MIGRATION.md 'First-run site steps' "
+                "(download resnet18-f37072fd.pth, convert with "
+                "scripts/convert_torchvision_resnet18.py, set "
+                "`pretrained_path`)."
             )
         # replicate state over the mesh
         self.state = jax.device_put(state, self.repl_sharding)

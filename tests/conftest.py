@@ -32,3 +32,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/pdac_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: anything not explicitly slow/fuzz/distributed is `fast`.
+    `pytest -m fast` is the <5 min tier CI runs on every push (see
+    .github/workflows/ci.yml); the full suite stays the default."""
+    import pytest as _pytest
+
+    for item in items:
+        if not any(m in item.keywords
+                   for m in ("slow", "fuzz", "distributed")):
+            item.add_marker(_pytest.mark.fast)

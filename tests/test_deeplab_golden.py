@@ -13,6 +13,7 @@ corner-aligned 4× upsamples (nn.UpsamplingBilinear2d) and the 1×1 head.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -142,6 +143,7 @@ def _randomize_stats(tmodel):
                 m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
 
 
+@pytest.mark.slow
 def test_full_deeplabv3plus_matches_smp_twin():
     torch.manual_seed(7)
     tmodel = _TorchSmpDeepLabV3Plus().eval()

@@ -155,6 +155,7 @@ def test_scaling_math_matches_smp_zoo():
             for s in specs] == _B0_BLOCKS
 
 
+@pytest.mark.slow
 def test_golden_stage_parity_vs_torch_twin():
     twin, enc, params, batch_stats = _converted_pair()
     rng = np.random.default_rng(3)
@@ -171,6 +172,7 @@ def test_golden_stage_parity_vs_torch_twin():
             rtol=2e-4, atol=2e-4, err_msg=f"stage {i + 1}")
 
 
+@pytest.mark.slow
 def test_converter_dispatch_detects_efficientnet():
     twin, enc, params, batch_stats = _converted_pair()
     sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
@@ -203,6 +205,7 @@ def test_output_stride_16_dilates_last_stage():
 
 @pytest.mark.parametrize("model_name", ["fpn", "deeplabv3+", "pspnet",
                                         "unet++"])
+@pytest.mark.slow
 def test_decoders_accept_efficientnet_backbone(model_name):
     cfg = Config(model=model_name, backbone="efficientnet-b0", img_size=SIZE)
     model = build_model(cfg)
@@ -212,6 +215,7 @@ def test_decoders_accept_efficientnet_backbone(model_name):
     assert out.shape == (2, SIZE, SIZE, 1)
 
 
+@pytest.mark.slow
 def test_train_mode_grads_flow():
     cfg = Config(model="fpn", backbone="efficientnet-b0", img_size=SIZE)
     model = build_model(cfg)

@@ -117,6 +117,7 @@ def test_bad_magic_rejected(tmp_path):
         load_serving_artifact(str(p))
 
 
+@pytest.mark.slow
 def test_int8_export_matches_quantized_step(cfg_state, tmp_path):
     from pdac_pathological_image_segmentation_tpu.infer.quantized import (
         make_quantized_infer_fn,
@@ -149,6 +150,7 @@ def test_int8_export_requires_calibration(cfg_state, tmp_path):
                                 platforms=("cpu",), int8=True)
 
 
+@pytest.mark.slow
 def test_export_cli_roundtrip(tmp_path):
     """End-to-end: train-state checkpoint on disk → CLI → loadable
     artifact that serves."""

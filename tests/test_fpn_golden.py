@@ -119,6 +119,7 @@ class _TorchSmpFPN(tnn.Module):
         return self.segmentation_head(self.decoder((c2, c3, c4, c5)))
 
 
+@pytest.mark.slow
 def test_full_fpn_matches_smp_twin():
     torch.manual_seed(3)
     tmodel = _TorchSmpFPN().eval()

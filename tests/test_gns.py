@@ -130,6 +130,7 @@ def test_ema_tracks_ratio():
     assert ema2.s == ema.s and ema2.g2 == ema.g2
 
 
+@pytest.mark.slow
 def test_trainer_logs_gns(tmp_path):
     # end-to-end: gns_every=1 produces a Diagnostics/GNS scalar row
     from pdac_pathological_image_segmentation_tpu.config import Config

@@ -96,6 +96,7 @@ def test_train_step_invalid_mask_labels_do_not_affect_metrics():
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_trainer_keeps_partial_final_batch(tmp_path):
     """drop_last=False semantics: a dataset size not divisible by the batch
     still trains on every sample (the final batch is wrap-padded + masked,

@@ -176,6 +176,7 @@ def test_tiff_jpeg_tiles_decode_natively(tmp_path):
     assert err < 1.0
 
 
+@pytest.mark.fuzz
 def test_fuzz_mutated_streams_never_crash():
     """Robustness smoke (a 21k-case ASan/UBSan fuzz of this generator ran
     clean offline; this keeps a fast regression in the suite): randomly

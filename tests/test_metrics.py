@@ -135,6 +135,7 @@ def test_prob_histogram_valid_mask_and_totals():
     assert hist[1].sum() == 32 and hist[0].sum() == 0
 
 
+@pytest.mark.slow
 def test_evaluator_metrics_csv(tmp_path):
     """Evaluator writes per-sample + macro/micro rows; macro dice of the
     CSV equals the mean of recomputed per-sample dices."""

@@ -104,6 +104,7 @@ def _converted_pair():
     return twin, enc, params, batch_stats
 
 
+@pytest.mark.slow
 def test_golden_stage_parity_vs_torch_twin():
     twin, enc, params, batch_stats = _converted_pair()
     rng = np.random.default_rng(0)
@@ -123,6 +124,7 @@ def test_golden_stage_parity_vs_torch_twin():
         )
 
 
+@pytest.mark.slow
 def test_feature_pyramid_contract():
     enc = MobileNetV2Encoder()
     v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
@@ -144,6 +146,7 @@ def test_output_stride_16_dilates_last_stage():
 
 @pytest.mark.parametrize("model_name", ["fpn", "deeplabv3+", "pspnet",
                                         "unet++"])
+@pytest.mark.slow
 def test_decoders_accept_mobilenet_backbone(model_name):
     cfg = Config(model=model_name, backbone="mobilenet_v2", img_size=SIZE)
     model = build_model(cfg)
@@ -153,6 +156,7 @@ def test_decoders_accept_mobilenet_backbone(model_name):
     assert out.shape == (2, SIZE, SIZE, 1)
 
 
+@pytest.mark.slow
 def test_train_mode_grads_flow():
     cfg = Config(model="fpn", backbone="mobilenet_v2", img_size=SIZE)
     model = build_model(cfg)

@@ -110,6 +110,7 @@ def test_folded_stem_matches_unfolded():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_resnet50_backbone_builds():
     """Bottleneck-block backbone path (cfg backbone choices, SURVEY C10)."""
     cfg = Config(model="fpn", backbone="resnet50", img_size=SIZE,

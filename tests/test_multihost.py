@@ -23,6 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.distributed
 def test_two_process_distributed_train(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

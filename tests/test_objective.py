@@ -125,6 +125,7 @@ def test_unetplusplus_contract(model_name):
     assert out.shape == (2, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     """jax.checkpoint remat changes memory, not math."""
     cfg = Config(model="unet", img_size=32, compute_dtype="float32")
@@ -141,6 +142,7 @@ def test_remat_train_step_matches_plain():
     np.testing.assert_allclose(float(score_a), float(score_b), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accum_step_runs_and_k1_matches_plain():
     cfg = Config(model="unet", img_size=32, compute_dtype="float32")
     model = build_model(cfg)

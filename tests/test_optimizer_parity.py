@@ -121,6 +121,7 @@ def test_adam_moments_converted(warm_reference_ckpt):
         mu_up, ref_up[:, :, ::-1, ::-1].transpose(2, 3, 0, 1), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_one_step_training_parity_vs_torch(warm_reference_ckpt):
     """With converted weights+moments, one identical (batch, loss, Adam)
     step moves parameters identically in torch and flax/optax."""

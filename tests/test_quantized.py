@@ -78,6 +78,7 @@ def test_quantized_masks_agree(setup):
     assert agree > 0.98, f"mask agreement {agree:.4f}"
 
 
+@pytest.mark.slow
 def test_quantized_dice_delta_end_to_end(tmp_path):
     """Train briefly on synthetic data, then compare bf16-path vs int8-path
     Dice on the test split (BASELINE 'Dice parity' target for the

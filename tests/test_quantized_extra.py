@@ -52,6 +52,7 @@ def _model_ref(model, state, image):
     ("deeplabv3+", deeplab_forward),
     ("pspnet", pspnet_forward),
 ])
+@pytest.mark.slow
 def test_float_mirror_matches_model(model_name, forward):
     _, model, state, image = _setup(model_name)
     ref = _model_ref(model, state, image)
@@ -61,6 +62,7 @@ def test_float_mirror_matches_model(model_name, forward):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_deeplab_nondefault_rates_mirror():
     """cfg.dilations flows through quantize_model(**model_kw) — the mirror
     must track a non-default atrous configuration."""
@@ -82,6 +84,7 @@ def test_deeplab_nondefault_rates_mirror():
                     "fuse.pointwise", "layer4_0.conv1")),
     ("pspnet", ("stem", "bottleneck", "layer2_1.conv2")),
 ])
+@pytest.mark.slow
 def test_quantized_masks_agree(model_name, expect_sites):
     _, model, state, image = _setup(model_name)
     bundle, forward = quantize_model(

@@ -120,6 +120,7 @@ def test_int8_banded_sliding_window():
     assert agree > 0.98, f"mask agreement {agree:.4f}"
 
 
+@pytest.mark.slow
 def test_int8_sharded_sliding_window():
     """The int8 step traces inside ShardedSlidingWindow's per-device
     shard_map program (``infer_step`` override) — multi-chip WSI serving

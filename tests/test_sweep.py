@@ -2,6 +2,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from pdac_pathological_image_segmentation_tpu.config import Config
 from pdac_pathological_image_segmentation_tpu.infer.sweep import run_sweep
@@ -36,6 +37,7 @@ def test_sweep_over_cohort(tmp_path):
     assert all(0.0 <= r["tumor_fraction"] <= 1.0 for r in results)
 
 
+@pytest.mark.slow
 def test_sweep_sharded_matches_plain():
     model, state = _model_state()
     rng = np.random.default_rng(1)

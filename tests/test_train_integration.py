@@ -74,6 +74,7 @@ def test_checkpoint_files_written(trained):
         assert tag in csv
 
 
+@pytest.mark.slow
 def test_resume_continues_from_latest(trained, data_root):
     cfg, save, result = trained
     cfg2 = _cfg(
@@ -103,6 +104,7 @@ def test_evaluator_and_figures(trained, data_root, tmp_path):
     assert figs == ["figure_1.png", "figure_2.png", "figure_3.png"]
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(data_root, tmp_path_factory):
     scores = []
     for run in range(2):
@@ -119,6 +121,7 @@ def test_training_is_deterministic(data_root, tmp_path_factory):
     assert scores[0] == scores[1]
 
 
+@pytest.mark.slow
 def test_trainer_warm_resumes_from_reference_pth(data_root, tmp_path):
     """Trainer-level reference-resume contract (train_worker.py:186-201):
     a torch-format latest.pth in save_path/pth is picked up for an smp
@@ -169,6 +172,7 @@ def test_trainer_warm_resumes_from_reference_pth(data_root, tmp_path):
     assert result["best_val_score"] >= 0.12  # previous_best restored
 
 
+@pytest.mark.slow
 def test_midtrain_exception_waits_for_async_checkpoint(data_root, tmp_path):
     """An exception mid-epoch must not abandon the in-flight async
     checkpoint: the finally-path drains the writer, so epoch 1's
@@ -239,6 +243,7 @@ def test_cli_test_threshold_sweep(trained, data_root, tmp_path):
     assert len(lines) == 258  # header + k/256 for k=0..256
 
 
+@pytest.mark.slow
 def test_overlay_cli_threshold_auto(trained, data_root, tmp_path):
     """overlay --threshold auto calibrates on the val split and re-derives
     every mask output at the calibrated operating point."""

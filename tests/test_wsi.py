@@ -444,6 +444,7 @@ def test_uncertainty_requires_tta(model_and_state):
                                uncertainty=True)
 
 
+@pytest.mark.slow
 def test_banded_uncertainty_matches_plain(model_and_state):
     """BandedSlidingWindow(uncertainty=True) over multiple bands equals
     the single-canvas runner's maps (incl. the band-input path)."""
