@@ -90,7 +90,11 @@ def main(argv=None) -> dict:
                         "GridTiler do) — ~4x less H2D at stride=tile/2")
     parser.add_argument("--band_h", type=int, default=None,
                         help="band height in rows for --banded "
-                        "(default 4096)")
+                        "(default 4096); with --sharded, enables "
+                        "rolled-band mode — each chip streams its "
+                        "ceil(h/D)-row region through an O(band_h) "
+                        "rolling canvas, for slides whose per-chip band "
+                        "would not fit HBM")
     parser.add_argument("--slide", default=None,
                         help="run directly on a pyramidal TIFF/SVS slide "
                         "(native tiled reader, streaming O(tile) host "
@@ -279,6 +283,7 @@ def main(argv=None) -> dict:
             ),
             tta=args.tta, blend=args.blend, stain=cfg.stain,
             infer_step=infer_step, uncertainty=args.uncertainty,
+            roll_h=args.band_h,
         )
     elif args.banded:
         from pdac_pathological_image_segmentation_tpu.infer.wsi import (

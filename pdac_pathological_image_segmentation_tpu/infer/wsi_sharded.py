@@ -94,7 +94,8 @@ class ShardedSlidingWindow:
                  batch_per_device: int = 8, blend: str = "hann",
                  tta: bool = False, stain: str = "none",
                  infer_step=None, band_input: bool | None = None,
-                 uncertainty: bool = False) -> None:
+                 uncertainty: bool = False,
+                 roll_h: int | None = None) -> None:
         """``infer_step``: optional raw ``step(state, images_u8) → probs``
         override replacing the default fused tile→mask step — e.g. the
         int8 quantized path (``infer.quantized.make_quantized_infer_fn``);
@@ -108,7 +109,24 @@ class ShardedSlidingWindow:
         device inside the ``shard_map`` program — ~4x less H2D/PCIe at
         stride=tile/2 than per-window upload.  ``None`` = auto-enable when
         the source has ``read_region(y, x, h, w)``; ``False`` = always
-        upload windows individually."""
+        upload windows individually.
+
+        ``roll_h``: rolled-band mode for slides whose per-chip band
+        ``ceil(h/D) × W`` would not fit HBM.  Each chip still owns
+        ``ceil(h/D)`` contiguous rows, but streams them through an
+        O(``roll_h``)-row rolling canvas exactly like the single-chip
+        :class:`~..wsi.BandedSlidingWindow` — finalized rows flush to the
+        host probability map after every roll, and the single finalize-time
+        ``lax.ppermute`` inter-chip halo exchange is preserved (each chip's
+        region-top ``tile`` rows are held back on device until the
+        neighbor's spill arrives).  Per-chip HBM becomes
+        ``(2 or 3) × (roll_h + tile) × W × 4`` bytes of canvases
+        + ``(roll_h + tile) × W × 3`` of band pixels (band-input mode)
+        + the held ``tile``-row buffers, independent of slide height:
+        e.g. a 150k×100k slide on 8 chips needs ~19k rows/chip
+        (~15 GB of f32 canvases — over v5e's 16 GB) single-canvas, but
+        only ~3.7 GB with ``roll_h=4096``.  ``None`` = single canvas per
+        chip (default)."""
         from pdac_pathological_image_segmentation_tpu.infer.wsi import (
             _make_tta_infer,
         )
@@ -123,6 +141,10 @@ class ShardedSlidingWindow:
         self.blend = blend
         self.band_input = band_input
         self.uncertainty = uncertainty
+        self.roll_h = roll_h
+        if roll_h is not None and roll_h < tile:
+            raise ValueError(f"roll_h ({roll_h}) must be >= tile ({tile}) "
+                             "so a tile spills into at most one roll")
         self.state = state
         # raw (unjitted) tile→probs fn; it is traced inside the shard_map
         raw_infer = infer_step or make_infer_step(model, tile, stain=stain)
@@ -235,20 +257,25 @@ class ShardedSlidingWindow:
         )
         return jax.jit(sharded, donate_argnums=(1, 2, 3))
 
-    def _shard_bands(self, source, band_h: int, canvas_w: int):
+    def _shard_bands(self, source, band_h: int, canvas_w: int,
+                     offsets=None):
         """Assemble the (D, band_h + tile, W, 3) uint8 band array directly
         from per-device shards: each host reads only the bands its local
         devices own (``source.read_region``) and uploads them one at a
         time — host memory stays O(band), and each slide pixel crosses
-        H2D once (plus the ``tile``-row inter-band halo)."""
+        H2D once (plus the ``tile``-row inter-band halo).
+
+        ``offsets``: per-device starting row (default ``b * band_h`` —
+        the single-canvas layout); rolled mode passes each chip's current
+        roll offset ``b * H_own + k * roll_h``."""
         d, tile = self.n_devices, self.tile
         shard = NamedSharding(self.mesh, P(DATA_AXIS))
         bufs = []
         for b, dev in enumerate(self.mesh.devices.flat):
             if dev.process_index != jax.process_index():
                 continue
-            region = source.read_region(b * band_h, 0, band_h + tile,
-                                        canvas_w)
+            y0 = (b * band_h) if offsets is None else int(offsets[b])
+            region = source.read_region(y0, 0, band_h + tile, canvas_w)
             bufs.append(jax.device_put(region[None], dev))
         return jax.make_array_from_single_device_arrays(
             (d, band_h + tile, canvas_w, 3), shard, bufs)
@@ -284,6 +311,209 @@ class ShardedSlidingWindow:
         )
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
+    # ----------------------------------------------------- rolled-band mode
+
+    def _build_flush_roll(self, roll_h: int, canvas_w: int):
+        """Normalize + emit the finished ``roll_h`` rows and roll the
+        canvases (trailing ``tile`` spill rows carry into the next roll's
+        top — the sharded analog of ``BandedSlidingWindow``'s roll)."""
+        tile, axis = self.tile, DATA_AXIS
+        unc = self.uncertainty
+
+        def per_device(accum, weight, var_accum):
+            a, wgt = accum[0], weight[0]
+            prob = jnp.where(wgt[:roll_h] > 0,
+                             a[:roll_h] / jnp.maximum(wgt[:roll_h], 1e-12),
+                             0.0)
+            ra = jnp.zeros_like(a).at[:tile].set(a[roll_h:])
+            rw = jnp.zeros_like(wgt).at[:tile].set(wgt[roll_h:])
+            if unc:
+                va = var_accum[0]
+                u = jnp.where(wgt[:roll_h] > 0,
+                              va[:roll_h] / jnp.maximum(wgt[:roll_h], 1e-12),
+                              0.0)
+                rv = jnp.zeros_like(va).at[:tile].set(va[roll_h:])
+                return prob[None], u[None], ra[None], rw[None], rv[None]
+            return (prob[None], jnp.zeros((1, 1, 1), jnp.float32),
+                    ra[None], rw[None], var_accum)
+
+        sharded = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis),) * 5,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+    def _build_final_rolled(self, roll_h: int):
+        """Last roll: ship each chip's outgoing ``tile`` spill rows to the
+        next chip over ICI (the single finalize-time ``lax.ppermute``), add
+        them onto the held-back region-top rows, and normalize both."""
+        tile, axis, d = self.tile, DATA_AXIS, self.n_devices
+        unc = self.uncertainty
+
+        def norm(a, wgt):
+            return jnp.where(wgt > 0, a / jnp.maximum(wgt, 1e-12), 0.0)
+
+        def per_device(accum, weight, var_accum, held_a, held_w, held_v):
+            a, wgt = accum[0], weight[0]
+            perm = [(i, i + 1) for i in range(d - 1)]
+            recv_a = jax.lax.ppermute(a[roll_h:], axis, perm)
+            recv_w = jax.lax.ppermute(wgt[roll_h:], axis, perm)
+            ha = held_a[0] + recv_a
+            hw = held_w[0] + recv_w
+            prob_last = norm(a[:roll_h], wgt[:roll_h])
+            prob_held = norm(ha, hw)
+            if unc:
+                va = var_accum[0]
+                recv_v = jax.lax.ppermute(va[roll_h:], axis, perm)
+                hv = held_v[0] + recv_v
+                return (prob_last[None], prob_held[None],
+                        norm(va[:roll_h], wgt[:roll_h])[None],
+                        norm(hv, hw)[None])
+            dummy = jnp.zeros((1, 1, 1), jnp.float32)
+            return prob_last[None], prob_held[None], dummy, dummy
+
+        sharded = jax.shard_map(
+            per_device, mesh=self.mesh,
+            in_specs=(P(axis),) * 6,
+            out_specs=(P(axis),) * 4,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4, 5))
+
+    def _run_rolled(self, source, coords, h: int, w: int,
+                    use_band: bool, prob_dtype=np.float16
+                    ) -> Tuple[np.ndarray, ...]:
+        """Rolled-band execution: O(roll_h) device canvases per chip,
+        probability rows streamed to host after every roll."""
+        d, tile, bpd = self.n_devices, self.tile, self.batch_per_device
+        roll_h = max(self.roll_h, tile)
+        # each chip owns a whole number of rolls so the outgoing inter-chip
+        # spill is exactly the last roll's trailing `tile` canvas rows
+        h_own = -(-h // (d * roll_h)) * roll_h
+        n_rolls = h_own // roll_h
+        owners = np.minimum(coords[:, 0] // h_own, d - 1)
+        roll_of = (coords[:, 0] - owners * h_own) // roll_h
+        per: list[list[list[int]]] = [
+            [[] for _ in range(n_rolls)] for _ in range(d)]
+        for i, (b, k) in enumerate(zip(owners, roll_of)):
+            per[int(b)][int(k)].append(i)
+
+        band_shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        step = (self._build_step_band(roll_h, w) if use_band
+                else self._build_step(roll_h, w))
+        flush_roll = self._build_flush_roll(roll_h, w)
+        final = self._build_final_rolled(roll_h)
+        hold = jax.jit(lambda a: a[:, :tile].copy())
+
+        rows = roll_h + tile
+        accum = jax.device_put(jnp.zeros((d, rows, w), jnp.float32),
+                               band_shard)
+        weight = jax.device_put(jnp.zeros((d, rows, w), jnp.float32),
+                                band_shard)
+        var_shape = (d, rows, w) if self.uncertainty else (d, 1, 1)
+        var_accum = jax.device_put(jnp.zeros(var_shape, jnp.float32),
+                                   band_shard)
+
+        prob_out = np.zeros((h, w), prob_dtype)
+        mask_out = np.zeros((h, w), np.uint8)
+        unc_out = (np.zeros((h, w), prob_dtype) if self.uncertainty
+                   else None)
+
+        def write_rows(dst, rows_h, b, y_local, skip_top=0):
+            """Host-side: place device rows at chip b's global offset,
+            cropping at the slide bottom."""
+            y0 = b * h_own + y_local + skip_top
+            if y0 >= h:
+                return
+            n_keep = min(rows_h.shape[0] - skip_top, h - y0)
+            if n_keep > 0:
+                dst[y0:y0 + n_keep] = rows_h[skip_top:skip_top + n_keep]
+
+        def emit(prob_f32, b, y_local, skip_top=0):
+            """Write probability (cast to ``prob_dtype``) AND the mask —
+            thresholded on the f32 rows BEFORE the storage cast, so
+            knife-edge pixels match the single-canvas runner bitwise."""
+            write_rows(prob_out, prob_f32.astype(prob_dtype), b, y_local,
+                       skip_top)
+            write_rows(mask_out, (prob_f32 >= 0.5).astype(np.uint8), b,
+                       y_local, skip_top)
+
+        held = None
+        for k in range(n_rolls):
+            max_n = max(len(per[b][k]) for b in range(d))
+            max_n = -(-max(max_n, 1) // bpd) * bpd if max_n else 0
+            if use_band and max_n:
+                offs = np.clip([b * h_own + k * roll_h for b in range(d)],
+                               0, max(0, h - 1))
+                band_px = self._shard_bands(source, roll_h, w, offsets=offs)
+            for start in range(0, max_n, bpd):
+                images = (None if use_band
+                          else np.zeros((d, bpd, tile, tile, 3), np.uint8))
+                cl = np.zeros((d, bpd, 2), np.int32)
+                vl = np.zeros((d, bpd), bool)
+                for b in range(d):
+                    lst = per[b][k]
+                    for j in range(bpd):
+                        idx = start + j
+                        if idx >= len(lst):
+                            continue
+                        i = lst[idx]
+                        if use_band:
+                            y, x = coords[i]
+                        else:
+                            img, (y, x) = source.get(i)
+                            images[b, j] = img
+                        cl[b, j] = (y - b * h_own - k * roll_h, x)
+                        vl[b, j] = True
+                pixels = (band_px if use_band
+                          else jax.device_put(images, band_shard))
+                accum, weight, var_accum = step(
+                    self.state, accum, weight, var_accum, pixels,
+                    jax.device_put(jnp.asarray(cl), band_shard),
+                    jax.device_put(jnp.asarray(vl), band_shard),
+                )
+            if k == 0:
+                # region-top `tile` rows stay on device until the halo
+                # from the previous chip arrives at finalize
+                held = (hold(accum), hold(weight),
+                        hold(var_accum) if self.uncertainty else
+                        jax.device_put(jnp.zeros((d, 1, 1), jnp.float32),
+                                       band_shard))
+            if k < n_rolls - 1:
+                prob_r, unc_r, accum, weight, var_accum = flush_roll(
+                    accum, weight, var_accum)
+                prob_h = np.asarray(jax.device_get(prob_r))
+                skip = tile if k == 0 else 0
+                unc_h = (np.asarray(jax.device_get(unc_r))
+                         if self.uncertainty else None)
+                for b in range(d):
+                    emit(prob_h[b], b, k * roll_h, skip_top=skip)
+                    if self.uncertainty:
+                        write_rows(unc_out, unc_h[b].astype(prob_dtype),
+                                   b, k * roll_h, skip_top=skip)
+
+        prob_last, prob_held, unc_last, unc_held = final(
+            accum, weight, var_accum, *held)
+        last_h = np.asarray(jax.device_get(prob_last))
+        held_h = np.asarray(jax.device_get(prob_held))
+        skip = tile if n_rolls == 1 else 0
+        for b in range(d):
+            emit(last_h[b], b, (n_rolls - 1) * roll_h, skip_top=skip)
+            emit(held_h[b], b, 0)
+        if self.uncertainty:
+            ul = np.asarray(jax.device_get(unc_last))
+            uh = np.asarray(jax.device_get(unc_held))
+            for b in range(d):
+                write_rows(unc_out, ul[b].astype(prob_dtype), b,
+                           (n_rolls - 1) * roll_h, skip_top=skip)
+                write_rows(unc_out, uh[b].astype(prob_dtype), b, 0)
+
+        oh, ow = getattr(source, "orig_hw", (h, w))
+        prob, mask = prob_out[:oh, :ow], mask_out[:oh, :ow]
+        if not self.uncertainty:
+            return prob, mask
+        return prob, mask, unc_out[:oh, :ow]
+
     # ------------------------------------------------------------------
 
     def run(self, source) -> Tuple[np.ndarray, ...]:
@@ -301,6 +531,11 @@ class ShardedSlidingWindow:
         if coords is None:
             coords = [source.get(i)[1] for i in range(n)]
         coords = np.asarray(coords, np.int64)
+        use_band_early = (self.band_input if self.band_input is not None
+                          else hasattr(source, "read_region"))
+        if self.roll_h is not None:
+            return self._run_rolled(source, coords, h, w,
+                                    use_band=bool(use_band_early))
         band_h, idx, valid = self._plan(coords, (h, w))
         d, max_n = idx.shape
         tile, bpd = self.tile, self.batch_per_device

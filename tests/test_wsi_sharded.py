@@ -71,6 +71,7 @@ def test_sharded_short_slide_pads_empty_bands(setup):
     np.testing.assert_allclose(prob, prob_ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_tta(setup):
     model, state, mesh = setup
     rng = np.random.default_rng(2)
@@ -155,6 +156,7 @@ def test_sharded_band_input_never_decodes_windows(setup):
     np.testing.assert_allclose(prob_b, prob_ref, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("band_input", [False, True])
 def test_sharded_uncertainty_matches_single_device(setup, band_input):
     """uncertainty=True over the mesh (incl. the variance halo exchange)
@@ -178,3 +180,80 @@ def test_sharded_uncertainty_matches_single_device(setup, band_input):
     np.testing.assert_array_equal(mask, mask_ref)
     assert unc.shape == unc_ref.shape
     np.testing.assert_allclose(unc, unc_ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("band_input", [False, True])
+def test_rolled_sharded_matches_single_device(setup, band_input):
+    """Rolled-band mode (roll_h ≪ per-chip region): each chip streams its
+    ceil(h/D) rows through an O(roll_h) canvas; result equals the
+    single-device runner.  Slide: 768 rows / 8 chips = 96-row regions,
+    rolled through 32-row canvases (3 rolls per chip, slide_h/D ≫ roll_h),
+    overlapping stride so tiles cross both roll AND chip boundaries."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(11)
+    slide = rng.integers(0, 256, (768, 96, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)
+
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend="hann", num_workers=2)
+    prob_ref, mask_ref = single.run(tiler)
+
+    rolled = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                  batch_per_device=4, blend="hann",
+                                  band_input=band_input, roll_h=TILE)
+    prob, mask = rolled.run(tiler)
+    assert prob.shape == prob_ref.shape == (768, 96)
+    # prob streams to host as float16 (the O(band) output dtype);
+    # the mask is thresholded on f32 rows BEFORE the cast — exact
+    np.testing.assert_allclose(np.asarray(prob, np.float32), prob_ref,
+                               atol=1e-3)
+    np.testing.assert_array_equal(mask, mask_ref)
+
+
+def test_rolled_sharded_crops_irregular_height(setup):
+    """Slide height not a multiple of D×roll_h: trailing rolls/regions are
+    empty and cropped; equality still holds everywhere."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(12)
+    slide = rng.integers(0, 256, (700, 64, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=TILE)
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend="uniform", num_workers=2)
+    prob_ref, mask_ref = single.run(tiler)
+    rolled = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                  batch_per_device=2, blend="uniform",
+                                  roll_h=TILE)
+    prob, mask = rolled.run(tiler)
+    assert prob.shape == prob_ref.shape
+    np.testing.assert_allclose(np.asarray(prob, np.float32), prob_ref,
+                               atol=1e-3)
+    np.testing.assert_array_equal(mask, mask_ref)
+
+
+@pytest.mark.slow
+def test_rolled_sharded_uncertainty(setup):
+    """TTA-variance canvases roll and halo-exchange like the probability
+    canvas."""
+    model, state, mesh = setup
+    rng = np.random.default_rng(13)
+    slide = rng.integers(0, 256, (768, 64, 3), dtype=np.uint8)
+    tiler = GridTiler(slide, tile=TILE, stride=16)
+    single = SlidingWindowInference(model, state, tile=TILE, batch_size=8,
+                                    blend="hann", num_workers=2, tta=True,
+                                    uncertainty=True)
+    prob_ref, mask_ref, unc_ref = single.run(tiler)
+    rolled = ShardedSlidingWindow(model, state, mesh, tile=TILE,
+                                  batch_per_device=4, blend="hann",
+                                  tta=True, uncertainty=True, roll_h=TILE)
+    prob, mask, unc = rolled.run(tiler)
+    np.testing.assert_allclose(np.asarray(prob, np.float32), prob_ref,
+                               atol=1e-3)
+    np.testing.assert_array_equal(mask, mask_ref)
+    np.testing.assert_allclose(np.asarray(unc, np.float32), unc_ref,
+                               atol=1e-3)
+
+
+def test_rolled_roll_h_smaller_than_tile_rejected(setup):
+    model, state, mesh = setup
+    with pytest.raises(ValueError, match="roll_h"):
+        ShardedSlidingWindow(model, state, mesh, tile=TILE, roll_h=16)
