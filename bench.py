@@ -336,6 +336,64 @@ def bench_artifact() -> None:
     }))
 
 
+def bench_serve(concurrency: int = 32) -> None:
+    """Serving-daemon load test: the flagship artifact behind the HTTP
+    micro-batching server (``infer/server.py``), driven by ``concurrency``
+    closed-loop loopback clients (``infer/loadtest.py``).  Measures the
+    full deployment path — HTTP parse, micro-batch coalescing, one device
+    dispatch per bucket, raw float32 responses — and reports aggregate
+    tiles/s with client-side latency percentiles and bucket occupancy.
+    (The reference's deployment story is an unbatched hand loop around an
+    unpickled best.pth, ``/root/reference/test.py:94-135``.)"""
+    import os
+    import tempfile
+
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.infer.export import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+    from pdac_pathological_image_segmentation_tpu.infer.loadtest import (
+        serve_and_loadtest,
+    )
+    from pdac_pathological_image_segmentation_tpu.models.registry import build_model
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+    from pdac_pathological_image_segmentation_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    cfg = Config(model="unet", backbone="resnet18", img_size=512,
+                 compute_dtype="bfloat16")
+    cfg.extras["head_dtype"] = "bfloat16"
+    model = build_model(cfg)
+    state = jax.device_put(
+        create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
+    platform = jax.devices()[0].platform
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.pdacsrv")
+        export_serving_artifact(cfg, state, path, platforms=(platform,))
+        del model, state
+        artifact = load_serving_artifact(path)
+    res = serve_and_loadtest(
+        artifact, buckets=(1, 8, 32), max_wait_ms=5.0,
+        concurrency=concurrency, n_requests=640)
+    print(json.dumps({
+        "metric": f"512x512 tiles/sec served over HTTP (unet bf16 artifact, "
+                  f"micro-batched, {concurrency} concurrent clients)",
+        "value": res["requests_per_s"],
+        "unit": "tiles/s",
+        "vs_baseline": None,
+        "latency_ms_p50": res["latency_ms_p50"],
+        "latency_ms_p99": res["latency_ms_p99"],
+        "mean_batch_size": res["mean_batch_size"],
+        "mean_bucket_occupancy": res["mean_bucket_occupancy"],
+        "errors": res["errors"],
+    }))
+
+
 def bench_wsi(size: int = 8192, stride: int | None = None,
               tissue_threshold: float = 0.0, tile_io: bool = False) -> None:
     """Full-slide sliding-window inference wall-clock (BASELINE config #4):
@@ -406,7 +464,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="infer",
                         choices=("infer", "train", "wsi", "int8",
-                                 "artifact"))
+                                 "artifact", "serve"))
+    parser.add_argument("--concurrency", type=int, default=32,
+                        help="closed-loop clients for --mode serve")
     parser.add_argument("--size", type=int, default=8192,
                         help="WSI side length for --mode wsi")
     parser.add_argument("--model", default="unet", choices=("unet", "fpn", "deeplabv3+", "pspnet"),
@@ -423,5 +483,7 @@ if __name__ == "__main__":
         bench_int8(args.model)
     elif args.mode == "artifact":
         bench_artifact()
+    elif args.mode == "serve":
+        bench_serve(args.concurrency)
     else:
         bench_wsi(args.size, tile_io=args.tile_io)

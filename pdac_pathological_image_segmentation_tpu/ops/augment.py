@@ -168,6 +168,204 @@ def color_jitter(
 
 
 # ---------------------------------------------------------------------------
+# slot-matrix color jitter — the shared semantics behind the default-mode
+# XLA chain AND the fused Pallas kernel (ops/pallas/fused_augment.py)
+# ---------------------------------------------------------------------------
+#
+# Every ColorJitter adjustment on [0,1] RGB is an affine per-pixel map
+#
+#     x ← clip( A @ x + γ · m ),   m = mean over pixels of (w_gray · x)
+#
+# with a per-sample per-slot 3×3 matrix A and scalar γ:
+#   brightness  A = f_b·I                         γ = 0
+#   contrast    A = f_c·I                         γ = 1 − f_c
+#   saturation  A = f_s·I + (1−f_s)·𝟙w_grayᵀ      γ = 0
+#   hue         A = T_RGB · R(2πf_h) · T_YIQ      γ = 0
+#
+# The randomized application ORDER lives entirely in which matrix sits in
+# which slot, so the applier is branch-free uniform dense math — exactly
+# what the TPU wants.  The Pallas kernel consumes the same (A, γ) tables
+# (precomputed in XLA from the same RNG draws), collapsing what used to be
+# 16 scalar-predicated regions into one: on v5e each `pl.when` region costs
+# ~2.5 µs/sample in scalar-pipeline overhead even when untaken (round-4
+# probe log, BASELINE.md), which dominated the old kernel's 19 ms.
+
+_GRAY_W = _np.asarray([0.299, 0.587, 0.114], _np.float32)
+_T_YIQ_F32 = _np.asarray(
+    [[0.299, 0.587, 0.114],
+     [0.59590059, -0.27455667, -0.32134392],
+     [0.21153661, -0.52273617, 0.31119955]], _np.float32)
+_T_RGB_F32 = _np.linalg.inv(_T_YIQ_F32).astype(_np.float32)
+_EYE3 = _np.eye(3, dtype=_np.float32)
+_ONES_W = _np.ones((3, 1), _np.float32) @ _GRAY_W[None, :]  # rows = w_gray
+
+
+def draw_augment_scalars(key: jax.Array, n: int, *, brightness=0.3,
+                         contrast=0.3, saturation=0.3, hue=0.3,
+                         p_jitter=0.5, p_geom=0.3):
+    """The per-sample random draws of the train augmentation, with the
+    exact key-split structure of :func:`color_jitter` +
+    :func:`one_of_flip_rot` — the RNG contract shared by the XLA chain
+    and the fused Pallas kernel.
+
+    Returns ``(facs (N,4) f32, ints (N,8) i32)`` with
+    ``facs = [fb, fc, fs, fh]`` and
+    ``ints = [perm0..perm3, jitter_apply, geom_apply, choice, rot_k]``."""
+    keys = jax.random.split(key, n * 2).reshape(n, 2, -1)
+
+    def per_sample(kj, kg):
+        k_apply, k_order, k_b, k_c, k_s, k_h = jax.random.split(kj, 6)
+        fb = jax.random.uniform(k_b, (), minval=1.0 - brightness,
+                                maxval=1.0 + brightness)
+        fc = jax.random.uniform(k_c, (), minval=1.0 - contrast,
+                                maxval=1.0 + contrast)
+        fs = jax.random.uniform(k_s, (), minval=1.0 - saturation,
+                                maxval=1.0 + saturation)
+        fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
+        perm = jax.random.permutation(k_order, 4)
+        j_apply = (jax.random.uniform(k_apply) < p_jitter).astype(jnp.int32)
+
+        g_apply_k, g_pick, g_rot = jax.random.split(kg, 3)
+        choice = jax.random.randint(g_pick, (), 0, 3)
+        rot_k = jax.random.randint(g_rot, (), 0, 4)
+        g_apply = (jax.random.uniform(g_apply_k) < p_geom).astype(jnp.int32)
+
+        facs = jnp.stack([fb, fc, fs, fh]).astype(jnp.float32)
+        ints = jnp.concatenate([
+            perm.astype(jnp.int32),
+            jnp.stack([j_apply, g_apply, choice, rot_k]),
+        ])
+        return facs, ints
+
+    return jax.vmap(per_sample)(keys[:, 0], keys[:, 1])
+
+
+def jitter_slot_params(facs: jax.Array, ints: jax.Array):
+    """Per-sample per-slot jitter affine params from the raw draws.
+
+    ``facs (N,4) f32`` + ``ints (N,8) i32`` → ``(A (N,4,3,3) f32,
+    gamma (N,4) f32)``: slot ``s`` of sample ``i`` applies
+    ``x ← clip(A[i,s] @ x + gamma[i,s] · mean_gray(x))``."""
+    facs = facs.astype(jnp.float32)
+
+    def per_slot(op, f):
+        fb, fc, fs, fh = f[0], f[1], f[2], f[3]
+
+        def brightness(_):
+            return fb * _EYE3, jnp.float32(0.0)
+
+        def contrast(_):
+            return fc * _EYE3, 1.0 - fc
+
+        def saturation(_):
+            return fs * _EYE3 + (1.0 - fs) * _ONES_W, jnp.float32(0.0)
+
+        def hue(_):
+            ang = (2.0 * _np.pi) * fh
+            co, si = jnp.cos(ang), jnp.sin(ang)
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            rot = jnp.stack([
+                jnp.stack([one, zero, zero]),
+                jnp.stack([zero, co, -si]),
+                jnp.stack([zero, si, co]),
+            ])
+            return _T_RGB_F32 @ (rot @ _T_YIQ_F32), jnp.float32(0.0)
+
+        return jax.lax.switch(op, [brightness, contrast, saturation, hue],
+                              None)
+
+    def per_sample(f, iv):
+        outs = [per_slot(iv[s], f) for s in range(4)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+
+    return jax.vmap(per_sample)(facs, ints)
+
+
+def geom_bits(ints: jax.Array) -> jax.Array:
+    """Decompose the OneOf{hflip, rot90(k), vflip} draw into the uniform
+    form ``out = L · Tᵗ(x) · R`` with ``L, R ∈ {I, exch}``:
+
+        (t, l, r) such that  x ← (exch @)ˡ (transpose?)ᵗ(x) (@ exch)ʳ
+
+    ``hflip = r``, ``vflip = l``, ``rot90¹ = l∘t``, ``rot90² = l∘r``,
+    ``rot90³ = r∘t`` — three predicates instead of six branch regions.
+    Returns ``(N,3) int32`` columns ``[t, l, r]``."""
+    g_apply = ints[:, 5] == 1
+    choice = ints[:, 6]
+    rot_k = ints[:, 7]
+    hf = g_apply & (choice == 0)
+    rot = g_apply & (choice == 1)
+    vf = g_apply & (choice == 2)
+    t = rot & ((rot_k == 1) | (rot_k == 3))
+    left = vf | (rot & ((rot_k == 1) | (rot_k == 2)))
+    right = hf | (rot & ((rot_k == 2) | (rot_k == 3)))
+    return jnp.stack([t, left, right], axis=1).astype(jnp.int32)
+
+
+def apply_slot_jitter(imgs: jax.Array, facs: jax.Array,
+                      ints: jax.Array) -> jax.Array:
+    """Batch slot-matrix ColorJitter on [0,1] NHWC images (any float
+    dtype).  Bit-compatible with the fused Pallas kernel's jitter section:
+    identical expression shapes — f32 products/sums, one round to the
+    image dtype per slot, then clip."""
+    h, w = imgs.shape[1], imgs.shape[2]
+    a_mats, gammas = jitter_slot_params(facs, ints)
+    orig = imgs
+    wg = _GRAY_W
+    for s in range(4):
+        xf = imgs.astype(jnp.float32)
+        x0, x1, x2 = xf[..., 0], xf[..., 1], xf[..., 2]
+        inv_hw = 1.0 / jnp.float32(h * w)
+        mu0 = jnp.sum(x0, axis=(1, 2)) * inv_hw
+        mu1 = jnp.sum(x1, axis=(1, 2)) * inv_hw
+        mu2 = jnp.sum(x2, axis=(1, 2)) * inv_hw
+        m = wg[0] * mu0 + wg[1] * mu1 + wg[2] * mu2  # (N,) f32
+        gm = (gammas[:, s] * m)[:, None, None]
+        a_s = a_mats[:, s]  # (N,3,3)
+
+        def ch(c):
+            return (a_s[:, c, 0][:, None, None] * x0
+                    + a_s[:, c, 1][:, None, None] * x1
+                    + a_s[:, c, 2][:, None, None] * x2) + gm
+
+        y = jnp.stack([ch(0), ch(1), ch(2)], axis=-1).astype(imgs.dtype)
+        imgs = jnp.clip(y, 0.0, 1.0)
+    j_apply = (ints[:, 4] == 1)[:, None, None, None]
+    return jnp.where(j_apply, imgs, orig)
+
+
+def apply_one_of_geom(imgs: jax.Array, masks: jax.Array,
+                      ints: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batch OneOf{hflip, rot90(k), vflip} consuming pre-drawn scalars
+    (``ints`` columns 5..7) — the same transform :func:`one_of_flip_rot`
+    applies from a key.  Image NHWC + mask NHW share the transform."""
+
+    def per_sample(img, mask, g_apply, choice, rot_k):
+        def hflip(args):
+            im, ms = args
+            return im[:, ::-1, :], ms[:, ::-1]
+
+        def rot90(args):
+            im, ms = args
+            branches = [lambda a, k=k: jnp.rot90(a, k) for k in range(4)]
+            return (jax.lax.switch(rot_k, branches, im),
+                    jax.lax.switch(rot_k, branches, ms))
+
+        def vflip(args):
+            im, ms = args
+            return im[::-1, :, :], ms[::-1, :]
+
+        tr = jax.lax.switch(choice, [hflip, rot90, vflip], (img, mask))
+        keep = g_apply == 1
+        return jnp.where(keep, tr[0], img), jnp.where(keep, tr[1], mask)
+
+    return jax.vmap(per_sample)(imgs, masks, ints[:, 5], ints[:, 6],
+                                ints[:, 7])
+
+
+# ---------------------------------------------------------------------------
 # geometric OneOf — reference train_main.py:76-80
 # ---------------------------------------------------------------------------
 
@@ -253,20 +451,24 @@ def train_transform(
 
         images = apply_stain_batch(images / 255.0, stain).astype(dtype) * 255.0
 
-    keys = jax.random.split(key, images.shape[0] * 2).reshape(images.shape[0], 2, -1)
-
     if parity_mode:
         # quirk-compatible: normalize first, jitter the normalized floats,
         # no clipping (SURVEY.md §5 quirk list / train_main.py:73-75)
+        keys = jax.random.split(key, images.shape[0] * 2).reshape(
+            images.shape[0], 2, -1)
         imgs = normalize(images, dtype=dtype)
         jit_fn = lambda k, im: color_jitter(k, im, clip=False)
         imgs = jax.vmap(jit_fn)(keys[:, 0], imgs)
+        imgs, masks = jax.vmap(one_of_flip_rot)(keys[:, 1], imgs, masks)
     else:
+        # default mode: slot-matrix jitter on [0,1] (same RNG stream as
+        # the legacy per-op chain; same (A, γ) tables the fused Pallas
+        # kernel consumes, so the two paths agree to bf16 rounding)
+        facs, ints = draw_augment_scalars(key, images.shape[0])
         imgs = images / jnp.asarray(255.0, dtype)
-        imgs = jax.vmap(lambda k, im: color_jitter(k, im, clip=True))(keys[:, 0], imgs)
+        imgs = apply_slot_jitter(imgs, facs, ints)
         imgs = (imgs - jnp.asarray(_MEAN, dtype)) / jnp.asarray(_STD, dtype)
-
-    imgs, masks = jax.vmap(one_of_flip_rot)(keys[:, 1], imgs, masks)
+        imgs, masks = apply_one_of_geom(imgs, masks, ints)
     return imgs, masks
 
 

@@ -1,34 +1,52 @@
 """Pallas kernel: fused train-time augmentation — uint8 pixels →
-color-jitter (random-order brightness/contrast/saturation/hue) →
-ImageNet-normalize → OneOf{hflip, rot90, vflip}, one VMEM-resident pass
-per sample.
+slot-matrix ColorJitter → ImageNet-normalize → OneOf{hflip, rot90,
+vflip}, one VMEM-resident pass per sample.
 
-Why: the XLA lowering of this chain (``ops/augment.train_transform``)
-works on (H, W, 3) tensors whose 3-channel minor dim occupies 3/128 lanes
-— ~16 full-image VPU passes at ~1/10th occupancy, measured **~40 ms of a
-289 ms bs=256/512² train step** on v5e (round-2 profile, BASELINE.md).
-Reordering layouts in XLA loses (the boundary transposes cost more than
-they save — measured 318/364 vs 289 ms); inside a Pallas kernel the image
-lives PLANAR (3, H, W) in VMEM with W on the 128 lanes, every pass is
-full-occupancy, and the branchy per-sample control flow (jitter order
-permutation, OneOf choice) runs as real scalar-predicated branches
-(``pl.when`` on SMEM scalars) instead of XLA's compute-all-and-select.
+Why a kernel at all: the XLA lowering of this chain
+(``ops/augment.train_transform``) works on (H, W, 3) tensors whose
+3-channel minor dim occupies 3/128 lanes — ~16 full-image VPU passes at
+~1/10th occupancy, measured ~40 ms of a 289 ms bs=256/512² train step on
+v5e (round-2 profile, BASELINE.md).  Inside the kernel the image lives
+PLANAR (4, H, W) in VMEM — planes 0-2 RGB, plane 3 the mask riding the
+same geometric transform — with W on the 128 lanes, so every pass runs at
+full occupancy.
 
-Augmentation takes no gradients (it transforms *data*, upstream of every
-parameter), so no custom VJP is needed — the kernel drops into the train
-step as-is.
+Why THIS kernel (v2, round 4): the v1 kernel expressed the per-sample
+randomness as 22 ``pl.when`` regions (4 jitter slots × 4 ops + 6
+geometric cases).  Probing on v5e showed each region costs ~2.5 µs/sample
+in scalar-pipeline overhead *even when untaken* — 22 regions × 256
+samples ≈ 14 ms of the kernel's 19 ms was branch bookkeeping, not work
+(round-4 probe log in BASELINE.md).  v2 collapses the control flow into
+dense math parameterized by per-sample scalars:
+
+* **jitter = ONE region** (``j_apply``): every ColorJitter op on [0,1]
+  RGB is the affine map ``x ← clip(A@x + γ·mean_gray(x))`` with a 3×3
+  ``A`` and scalar ``γ`` per slot (``ops/augment.jitter_slot_params`` —
+  the randomized op ORDER lives in which matrix occupies which slot);
+* **geometry = THREE regions**: every OneOf case decomposes as
+  ``out = (exch@)ˡ (transposeᵗ(x)) (@exch)ʳ`` (``ops/augment.geom_bits``)
+  — flips/rotations ride the (otherwise idle) MXU as exact 0/1-matrix
+  products, bitwise equal to ``jnp.rot90``/``flip`` (Mosaic has no
+  ``rev``/``transpose`` lowering — verified again on this toolchain).
+
+Measured (bs=256, 512², v5e): v1 18.9 ms → **v2 7.4 ms** wall
+(~15 → ~3.6 ms device time next to a ~3.8 ms relay dispatch floor); the
+XLA chain costs 76.8 ms.  Augmentation takes no gradients (it transforms
+data, upstream of every parameter), so no custom VJP is needed.
 
 RNG contract: all random draws happen OUTSIDE the kernel with the exact
-key-split structure of ``train_transform`` (:func:`draw_augment_scalars`),
-so the fused path consumes the same per-sample factors/choices as the XLA
-path — outputs match within bf16 tolerance (pinned by
+key-split structure of ``train_transform``
+(``ops/augment.draw_augment_scalars``), so the fused path consumes the
+same per-sample factors/choices as the XLA path — and both paths apply
+them through the SAME slot matrices, so outputs match within last-ulp
+bf16 (reduction-order only; geometry bitwise — pinned by
 ``tests/test_fused_augment.py``).
 
 I/O: planar uint8 images (N, 3, H, W) — the NHWC→planar / planar→NHWC
-transposes happen in XLA on uint8/bf16 (cheap, ~1.5 ms total at bs=256,
-vs the ~40 ms chain they replace); masks (N, H, W) uint8 share the
-geometric transform.  Default-mode semantics only (jitter on [0,1] with
-per-step clipping, then normalize — ``parity_mode`` keeps the XLA path).
+transposes happen in XLA on uint8/bf16 (cheap, ~1.5 ms total at bs=256);
+masks (N, H, W) uint8 share the geometric transform.  Default-mode
+semantics only (jitter on [0,1] with per-slot clipping, then normalize —
+``parity_mode`` keeps the XLA path).
 """
 
 from __future__ import annotations
@@ -37,7 +55,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,147 +62,63 @@ from pdac_pathological_image_segmentation_tpu.config import (
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
+from pdac_pathological_image_segmentation_tpu.ops.augment import (
+    _GRAY_W,
+    draw_augment_scalars,  # noqa: F401 — re-exported (RNG contract home)
+    geom_bits,
+    jitter_slot_params,
+)
 
-import ml_dtypes as _mld
-
-
-def _bf16c(v) -> float:
-    """A constant pre-rounded through bf16 (so kernel math sees the same
-    literal values the XLA chain's bf16 jnp.asarray constants carry)."""
-    return float(np.asarray(v, _mld.bfloat16).astype(np.float32))
-
-
-_T_YIQ = np.asarray(
-    [[0.299, 0.587, 0.114],
-     [0.59590059, -0.27455667, -0.32134392],
-     [0.21153661, -0.52273617, 0.31119955]], np.float32)
-# the XLA chain inverts the ALREADY-bf16-ROUNDED yiq matrix
-# (augment._adjust_hue: t_yiq is created in the image dtype) — match it
-_T_RGB = np.linalg.inv(
-    np.asarray(_T_YIQ, _mld.bfloat16).astype(np.float32))
-_GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
+__all__ = [
+    "draw_augment_scalars",
+    "fused_augment_planar",
+    "fused_train_transform",
+]
 
 
-def draw_augment_scalars(key: jax.Array, n: int, *, brightness=0.3,
-                         contrast=0.3, saturation=0.3, hue=0.3,
-                         p_jitter=0.5, p_geom=0.3):
-    """Reproduce ``train_transform``'s per-sample random draws exactly
-    (same key-split structure as ``color_jitter`` + ``one_of_flip_rot``).
+def _augment_kernel(a_ref, g_ref, ints_ref, geom_ref, img_ref, mask_ref,
+                    out_ref, mout_ref, buf_ref, *, h: int, w: int):
+    """One sample: planar u8 (1,3,H,W) + mask (1,H,W) u8 → normalized/
+    augmented bf16 (1,3,H,W) + f32 mask, shared geometric transform.
 
-    Returns ``(facs (N,4) f32, ints (N,8) i32)`` with
-    ``facs = [fb, fc, fs, fh]`` and
-    ``ints = [perm0..perm3, jitter_apply, geom_apply, choice, rot_k]``."""
-    keys = jax.random.split(key, n * 2).reshape(n, 2, -1)
-
-    def per_sample(kj, kg):
-        k_apply, k_order, k_b, k_c, k_s, k_h = jax.random.split(kj, 6)
-        fb = jax.random.uniform(k_b, (), minval=1.0 - brightness,
-                                maxval=1.0 + brightness)
-        fc = jax.random.uniform(k_c, (), minval=1.0 - contrast,
-                                maxval=1.0 + contrast)
-        fs = jax.random.uniform(k_s, (), minval=1.0 - saturation,
-                                maxval=1.0 + saturation)
-        fh = jax.random.uniform(k_h, (), minval=-hue, maxval=hue)
-        perm = jax.random.permutation(k_order, 4)
-        j_apply = (jax.random.uniform(k_apply) < p_jitter).astype(jnp.int32)
-
-        g_apply_k, g_pick, g_rot = jax.random.split(kg, 3)
-        choice = jax.random.randint(g_pick, (), 0, 3)
-        rot_k = jax.random.randint(g_rot, (), 0, 4)
-        g_apply = (jax.random.uniform(g_apply_k) < p_geom).astype(jnp.int32)
-
-        facs = jnp.stack([fb, fc, fs, fh]).astype(jnp.float32)
-        ints = jnp.concatenate([
-            perm.astype(jnp.int32),
-            jnp.stack([j_apply, g_apply, choice, rot_k]),
-        ])
-        return facs, ints
-
-    return jax.vmap(per_sample)(keys[:, 0], keys[:, 1])
-
-
-def _augment_kernel(facs_ref, ints_ref, img_ref, mask_ref, out_ref,
-                    mout_ref, buf_ref, *, h: int, w: int):
-    """One sample: planar u8 (1,3,H,W) → normalized/augmented bf16
-    (1,3,H,W) + mask (1,H,W) u8 → f32, shared geometric transform.
-
-    ``facs_ref``/``ints_ref`` are whole-array scalar-prefetch refs
-    ((N,4) f32 / (N,8) i32 in SMEM), indexed by the grid position."""
+    ``a_ref (N,4,9) f32`` / ``g_ref (N,4) f32`` / ``ints_ref (N,8) i32`` /
+    ``geom_ref (N,3) i32`` are whole-array scalar-prefetch refs in SMEM,
+    indexed by the grid position.  ``buf_ref`` is (4,H,W) bf16 scratch:
+    planes 0-2 image, plane 3 mask (so geometry transforms all four
+    uniformly)."""
     i = pl.program_id(0)
-    # u8 → bf16 [0,1] (Mosaic has no direct u8→bf16 cast)
-    # same op forms as the XLA chain (divide, not multiply-by-inverse) so
-    # bf16 roundings match bitwise; per-plane to keep the i32/f32 cast
-    # temporaries at (H,W) instead of (3,H,W) (VMEM stack pressure)
+    # u8 → bf16 [0,1] (Mosaic has no direct u8→bf16 cast); per-plane to
+    # keep the i32/f32 cast temporaries at (H,W) (VMEM stack pressure).
+    # Same op forms as the XLA chain (divide, not multiply-by-inverse) so
+    # bf16 roundings match bitwise.
     for c in range(3):
         buf_ref[c] = (img_ref[0, c].astype(jnp.int32).astype(jnp.float32)
                       .astype(jnp.bfloat16) / jnp.bfloat16(255.0))
+    buf_ref[3] = (mask_ref[0].astype(jnp.int32).astype(jnp.float32)
+                  .astype(jnp.bfloat16))  # {0,1} exact in bf16
 
-    j_apply = ints_ref[i, 4]
-
-    def gray():
-        # match XLA's _rgb_to_grayscale: bf16 products, f32-accumulated
-        # channel reduce, single bf16 rounding
-        gw = _GRAY_W
-        p0 = (buf_ref[0] * jnp.bfloat16(gw[0])).astype(jnp.float32)
-        p1 = (buf_ref[1] * jnp.bfloat16(gw[1])).astype(jnp.float32)
-        p2 = (buf_ref[2] * jnp.bfloat16(gw[2])).astype(jnp.float32)
-        return (p0 + p1 + p2).astype(jnp.bfloat16)  # (H, W)
-
-    def clip():
-        buf_ref[:] = jnp.clip(buf_ref[:], 0.0, 1.0)
-
-    for slot in range(4):
-        op = ints_ref[i, slot]
-
-        @pl.when((j_apply == 1) & (op == 0))
-        def _brightness():
-            buf_ref[:] = buf_ref[:] * facs_ref[i, 0].astype(jnp.bfloat16)
-            clip()
-
-        @pl.when((j_apply == 1) & (op == 1))
-        def _contrast():
-            m = (jnp.sum(gray().astype(jnp.float32))
-                 / jnp.float32(h * w)).astype(jnp.bfloat16)
-            fc = facs_ref[i, 1].astype(jnp.bfloat16)
-            buf_ref[:] = m + (buf_ref[:] - m) * fc
-            clip()
-
-        @pl.when((j_apply == 1) & (op == 2))
-        def _saturation():
-            g = gray()
-            fs = facs_ref[i, 2].astype(jnp.bfloat16)
+    @pl.when(ints_ref[i, 4] == 1)
+    def _jitter():
+        # four slots of x ← clip(A@x + γ·m); expression shapes mirror
+        # ops/augment.apply_slot_jitter exactly (f32 products/sums, one
+        # bf16 rounding per slot) so the two paths agree to last-ulp
+        inv_hw = jnp.float32(1.0) / jnp.float32(h * w)
+        for s in range(4):
+            x0 = buf_ref[0].astype(jnp.float32)
+            x1 = buf_ref[1].astype(jnp.float32)
+            x2 = buf_ref[2].astype(jnp.float32)
+            mu0 = jnp.sum(x0) * inv_hw
+            mu1 = jnp.sum(x1) * inv_hw
+            mu2 = jnp.sum(x2) * inv_hw
+            m = (jnp.float32(_GRAY_W[0]) * mu0
+                 + jnp.float32(_GRAY_W[1]) * mu1
+                 + jnp.float32(_GRAY_W[2]) * mu2)
+            gm = g_ref[i, s] * m
             for c in range(3):
-                buf_ref[c] = g + (buf_ref[c] - g) * fs
-            clip()
-
-        @pl.when((j_apply == 1) & (op == 3))
-        def _hue():
-            # XLA's einsum accumulates the 3-channel contractions in f32
-            # and rounds once — match that (per-term bf16 adds differ by
-            # ~1e-2 on cancelling sums)
-            angle = 2.0 * np.pi * facs_ref[i, 3]
-            cos = jnp.cos(angle).astype(jnp.bfloat16)
-            sin = jnp.sin(angle).astype(jnp.bfloat16)
-            r = buf_ref[0].astype(jnp.float32)
-            g = buf_ref[1].astype(jnp.float32)
-            b = buf_ref[2].astype(jnp.float32)
-            ty = _T_YIQ
-            tb = _bf16c
-            y = r * tb(ty[0, 0]) + g * tb(ty[0, 1]) + b * tb(ty[0, 2])
-            i0 = r * tb(ty[1, 0]) + g * tb(ty[1, 1]) + b * tb(ty[1, 2])
-            q0 = r * tb(ty[2, 0]) + g * tb(ty[2, 1]) + b * tb(ty[2, 2])
-            # rotation in bf16 exactly as the XLA chain (bf16-rounded
-            # products, bf16 add/sub)
-            y = y.astype(jnp.bfloat16).astype(jnp.float32)
-            i0b = i0.astype(jnp.bfloat16)
-            q0b = q0.astype(jnp.bfloat16)
-            i1 = ((i0b * cos) - (q0b * sin)).astype(jnp.float32)
-            q1 = ((i0b * sin) + (q0b * cos)).astype(jnp.float32)
-            tr = _T_RGB
-            for c in range(3):
-                buf_ref[c] = (y * tb(tr[c, 0]) + i1 * tb(tr[c, 1])
-                              + q1 * tb(tr[c, 2])).astype(jnp.bfloat16)
-            clip()
+                y = (a_ref[i, s, 3 * c + 0] * x0
+                     + a_ref[i, s, 3 * c + 1] * x1
+                     + a_ref[i, s, 3 * c + 2] * x2) + gm
+                buf_ref[c] = jnp.clip(y.astype(jnp.bfloat16), 0.0, 1.0)
 
     # ImageNet normalize, per plane (channel = outer dim, a cheap slice)
     for c in range(3):
@@ -193,83 +126,64 @@ def _augment_kernel(facs_ref, ints_ref, img_ref, mask_ref, out_ref,
         std = jnp.bfloat16(float(IMAGENET_STD[c]))
         buf_ref[c] = (buf_ref[c] - mean) / std
 
-    # OneOf{hflip, rot90(k), vflip}.  Mosaic has no `rev`/`transpose`
-    # lowering, so every geometric op rides the (otherwise idle) MXU as an
-    # exact 0/1 matmul: reversal = exchange-matrix product, transpose =
-    # identity contraction over the first axes.  Sums of single bf16
-    # products round back to the original values — bitwise exact.
-    g_apply = ints_ref[i, 5]
-    choice = ints_ref[i, 6]
-    rot_k = ints_ref[i, 7]
-    m_in = (mask_ref[0].astype(jnp.int32).astype(jnp.float32)
-            .astype(jnp.bfloat16))  # (H, W); {0,1} exact in bf16
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-    eye = (rows == cols).astype(jnp.bfloat16)
-    exch = (rows + cols == h - 1).astype(jnp.bfloat16)
-
+    # OneOf{hflip, rot90(k), vflip} as out = (exch@)ˡ Tᵗ(x) (@exch)ʳ.
+    # Every op rides the MXU as an exact 0/1 matmul (sums of single bf16
+    # products round back to the original values — bitwise).  The iota/
+    # exchange matrices build INSIDE each region: they cost ~2 passes but
+    # only when the region is taken (p≈0.3 overall).
     def mm(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    def tt(a):  # transpose: contract first axes with the identity
-        return jax.lax.dot_general(
-            a, eye, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    @pl.when(geom_ref[i, 0] == 1)
+    def _transpose():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+        eye = (rows == cols).astype(jnp.bfloat16)
+        for p in range(4):
+            # transpose = contract the FIRST axes with the identity
+            buf_ref[p] = jax.lax.dot_general(
+                buf_ref[p], eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    identity = (g_apply == 0) | ((choice == 1) & (rot_k == 0))
+    @pl.when(geom_ref[i, 1] == 1)
+    def _left_exch():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+        exch = (rows + cols == h - 1).astype(jnp.bfloat16)
+        for p in range(4):
+            buf_ref[p] = mm(exch, buf_ref[p])
 
-    @pl.when(identity)
-    def _none():
-        out_ref[0] = buf_ref[:]
-        mout_ref[0] = m_in.astype(jnp.float32)
+    @pl.when(geom_ref[i, 2] == 1)
+    def _right_exch():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+        exch = (rows + cols == h - 1).astype(jnp.bfloat16)
+        for p in range(4):
+            buf_ref[p] = mm(buf_ref[p], exch)
 
-    @pl.when((g_apply == 1) & (choice == 0))
-    def _hflip():
-        for c in range(3):
-            out_ref[0, c] = mm(buf_ref[c], exch)
-        mout_ref[0] = mm(m_in, exch).astype(jnp.float32)
-
-    @pl.when((g_apply == 1) & (choice == 2))
-    def _vflip():
-        for c in range(3):
-            out_ref[0, c] = mm(exch, buf_ref[c])
-        mout_ref[0] = mm(exch, m_in).astype(jnp.float32)
-
-    # jnp.rot90(m, 1) = flip(m.T, axis=0) = exch @ T(m);
-    # rot90(m, 2) = exch @ m @ exch;  rot90(m, 3) = T(exch @ m)
-    @pl.when((g_apply == 1) & (choice == 1) & (rot_k == 1))
-    def _rot1():
-        for c in range(3):
-            out_ref[0, c] = mm(exch, tt(buf_ref[c]))
-        mout_ref[0] = mm(exch, tt(m_in)).astype(jnp.float32)
-
-    @pl.when((g_apply == 1) & (choice == 1) & (rot_k == 2))
-    def _rot2():
-        for c in range(3):
-            out_ref[0, c] = mm(exch, mm(buf_ref[c], exch))
-        mout_ref[0] = mm(exch, mm(m_in, exch)).astype(jnp.float32)
-
-    @pl.when((g_apply == 1) & (choice == 1) & (rot_k == 3))
-    def _rot3():
-        for c in range(3):
-            out_ref[0, c] = tt(mm(exch, buf_ref[c]))
-        mout_ref[0] = tt(mm(exch, m_in)).astype(jnp.float32)
+    out_ref[0] = buf_ref[0:3]
+    mout_ref[0] = buf_ref[3].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_augment_planar(img_planar_u8: jax.Array, masks_u8: jax.Array,
-                         facs: jax.Array, ints: jax.Array,
+                         a_mats: jax.Array, gammas: jax.Array,
+                         ints: jax.Array, geom: jax.Array,
                          interpret: bool = False):
-    """(N,3,H,W) u8 + (N,H,W) u8 + scalars → (N,3,H,W) bf16 normalized
-    + (N,H,W) f32 — the fused augmentation pass."""
+    """(N,3,H,W) u8 + (N,H,W) u8 + per-sample tables → (N,3,H,W) bf16
+    normalized + (N,H,W) f32 — the fused augmentation pass.
+
+    ``a_mats (N,4,3,3)`` / ``gammas (N,4)`` come from
+    :func:`ops.augment.jitter_slot_params`; ``geom (N,3)`` from
+    :func:`ops.augment.geom_bits`; ``ints`` is the raw draw table (only
+    column 4, ``j_apply``, is read here)."""
     n, _, h, w = img_planar_u8.shape
     assert h == w, "square patches only (rot90 via MXU identity/exchange)"
     kernel = functools.partial(_augment_kernel, h=h, w=w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # facs + ints ride whole in SMEM
+        num_scalar_prefetch=4,  # A, γ, ints, geom ride whole in SMEM
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
@@ -283,7 +197,7 @@ def fused_augment_planar(img_planar_u8: jax.Array, masks_u8: jax.Array,
             pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((3, h, w), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((4, h, w), jnp.bfloat16)],
     )
     return pl.pallas_call(
         kernel,
@@ -296,7 +210,8 @@ def fused_augment_planar(img_planar_u8: jax.Array, masks_u8: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(facs, ints, img_planar_u8, masks_u8)
+    )(a_mats.reshape(n, 4, 9), gammas, ints, geom,
+      img_planar_u8, masks_u8)
 
 
 def fused_train_transform(key: jax.Array, images: jax.Array,
@@ -306,7 +221,10 @@ def fused_train_transform(key: jax.Array, images: jax.Array,
     f32 masks).  Same per-sample RNG stream as the XLA path."""
     n = images.shape[0]
     facs, ints = draw_augment_scalars(key, n)
+    a_mats, gammas = jitter_slot_params(facs, ints)
+    geom = geom_bits(ints)
     planar = jnp.transpose(images, (0, 3, 1, 2))
     imgs_p, masks_f = fused_augment_planar(
-        planar, masks.astype(jnp.uint8), facs, ints, interpret=interpret)
+        planar, masks.astype(jnp.uint8), a_mats, gammas, ints, geom,
+        interpret=interpret)
     return jnp.transpose(imgs_p, (0, 2, 3, 1)), masks_f

@@ -79,10 +79,18 @@ def main() -> None:
             lambda: f(key), lambda o: float(o[0][0, 0]), args.seconds), 3)
 
     if "kernel" in stages:
+        from pdac_pathological_image_segmentation_tpu.ops.augment import (
+            geom_bits,
+            jitter_slot_params,
+        )
+
         facs, ints = jax.jit(lambda k: draw_augment_scalars(k, n))(key)
-        facs, ints = jax.device_put(facs), jax.device_put(ints)
+        a_mats, gammas = jax.jit(jitter_slot_params)(facs, ints)
+        geom = jax.jit(geom_bits)(ints)
+        a_mats, gammas, ints, geom = map(
+            jax.device_put, (a_mats, gammas, ints, geom))
         results["kernel_ms"] = round(timeit(
-            lambda: fused_augment_planar(xp, m, facs, ints),
+            lambda: fused_augment_planar(xp, m, a_mats, gammas, ints, geom),
             lambda o: float(o[0][0, 0, 0, 0]), args.seconds), 3)
 
     if "fused" in stages:
