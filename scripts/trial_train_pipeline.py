@@ -71,6 +71,10 @@ def main() -> None:
     obj = make_objective(cfg)
     state0 = jax.device_put(
         create_train_state(cfg, model, jax.random.PRNGKey(0)))
+    # every schedule donates its state, so each section starts from a
+    # fresh on-device copy (a*1 forces new buffers without a host trip)
+    fresh_state = jax.jit(
+        lambda s: jax.tree_util.tree_map(lambda a: a * 1, s))
     b = args.batch
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.integers(0, 256, (b, 512, 512, 3), dtype=np.uint8))
@@ -93,13 +97,16 @@ def main() -> None:
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads).replace(batch_stats=new_bs), loss
 
-    def run(label, step_fn, warm_fn, fetch):
+    def run(label, step_fn, warm_fn, fetch, depth: int = 4):
+        """``depth`` = steps between completion fetches; the split/
+        pipelined schedules keep an extra augmented batch (~670 MB at
+        bs=256) alive per in-flight step, so they fetch every 2."""
         warm_fn()
         n = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < args.seconds:
             step_fn()
-            if (n + 1) % 4 == 0:
+            if (n + 1) % depth == 0:
                 fetch()
             n += 1
         fetch()
@@ -110,10 +117,11 @@ def main() -> None:
     schedules = args.schedules.split(",")
 
     if "fused" in schedules:
+        s0 = fresh_state(state0)
         step = compile_serving(make_train_step(model, 512, donate=True),
-                               state0, key, x, m,
+                               s0, key, x, m,
                                options=TRAIN_COMPILER_OPTIONS)
-        st = {"s": state0, "loss": None}
+        st = {"s": s0, "loss": None}
 
         def do():
             st["s"], st["loss"], _ = step(st["s"], key, x, m)
@@ -122,20 +130,21 @@ def main() -> None:
         del step, st
 
     if "split" in schedules:
+        s0 = fresh_state(state0)
         aug = jax.jit(lambda k, im, ms: fused_train_transform(k, im, ms))
         ex_i, ex_m = aug(key, x, m)
         core_j = compile_serving(
             jax.jit(core, donate_argnums=(0, 1, 2)),
-            state0, ex_i, ex_m, key,
+            s0, ex_i, ex_m, key,
             options=TRAIN_COMPILER_OPTIONS)
-        st = {"s": state0, "loss": None, "nxt": aug(key, x, m)}
+        st = {"s": s0, "loss": None, "nxt": aug(key, x, m)}
 
         def do():
             imgs, msks = st["nxt"]
             st["nxt"] = aug(key, x, m)      # enqueue k+1's augment first
             st["s"], st["loss"] = core_j(st["s"], imgs, msks, key)
 
-        run("split", do, do, lambda: float(st["loss"]))
+        run("split", do, do, lambda: float(st["loss"]), depth=1)
         del aug, core_j, st
 
     if "pipelined" in schedules:
@@ -146,18 +155,19 @@ def main() -> None:
                                                        raw_msk)
             return new_state, nxt_imgs, nxt_msks, loss
 
+        s0 = fresh_state(state0)
         imgs0, msks0 = jax.jit(fused_train_transform)(key, x, m)
         pipe_j = compile_serving(
             jax.jit(pipe, donate_argnums=(0, 1, 2)),
-            state0, imgs0, msks0, x, m, key,
+            s0, imgs0, msks0, x, m, key,
             options=TRAIN_COMPILER_OPTIONS)
-        st = {"s": state0, "i": imgs0, "m": msks0, "loss": None}
+        st = {"s": s0, "i": imgs0, "m": msks0, "loss": None}
 
         def do():
             st["s"], st["i"], st["m"], st["loss"] = pipe_j(
                 st["s"], st["i"], st["m"], x, m, key)
 
-        run("pipelined", do, do, lambda: float(st["loss"]))
+        run("pipelined", do, do, lambda: float(st["loss"]), depth=1)
 
     print(json.dumps({"batch": b, **results}))
 
