@@ -14,6 +14,7 @@ top-down upsampling and the align_corners=True 4× head upsample
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
