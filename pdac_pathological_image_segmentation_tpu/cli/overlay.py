@@ -156,6 +156,23 @@ def main(argv=None) -> dict:
     cfg = load_config(args.config)
     os.makedirs(args.save_path, exist_ok=True)
 
+    multiclass = cfg.num_classes > 1
+    if multiclass:
+        # multi-class slides stitch per-class softmax canvases and the mask
+        # is the argmax class map — surfaces that assume one sigmoid canvas
+        # are rejected up front (SlidingWindowInference carries the C axis)
+        for flag, name in ((args.sharded, "--sharded"),
+                           (args.banded, "--banded"),
+                           (args.int8, "--int8"),
+                           (args.artifact, "--artifact"),
+                           (args.export_tiff, "--export_tiff")):
+            if flag:
+                raise SystemExit(f"{name} is binary-only (num_classes="
+                                 f"{cfg.num_classes} in the config)")
+        if args.threshold != "0.5":
+            raise SystemExit("--threshold applies to binary sigmoid masks; "
+                             "multi-class masks are the per-pixel argmax")
+
     if args.artifact and args.int8:
         raise SystemExit("--artifact already bakes a serving program; "
                          "int8 is chosen at export time (cli/export.py "
@@ -306,7 +323,7 @@ def main(argv=None) -> dict:
         )
     out_maps = runner.run(source)
     prob, mask = out_maps[0], out_maps[1]
-    if threshold != 0.5:
+    if threshold != 0.5 and not multiclass:
         # runners threshold the blended probability map at the reference's
         # 0.5 (test.py:143); a calibrated/explicit threshold re-derives the
         # mask from the same probabilities — bitwise consistent with what
@@ -314,6 +331,9 @@ def main(argv=None) -> dict:
         mask = (prob >= threshold).astype(mask.dtype)
 
     np.save(os.path.join(args.save_path, "probability_map.npy"), prob)
+    if multiclass:
+        # the argmax class labels, separate from the (H, W, C) softmax map
+        np.save(os.path.join(args.save_path, "class_map.npy"), mask)
     if args.uncertainty:
         unc = out_maps[2]
         np.save(os.path.join(args.save_path, "uncertainty_map.npy"), unc)
@@ -352,18 +372,36 @@ def main(argv=None) -> dict:
         if args.slide:
             coord_scale = (slide.dimensions(0)[0]
                            / slide.dimensions(args.level)[0])
-        polys = mask_to_polygons(
-            mask, min_area=args.geojson_min_area,
-            simplify_tol=args.geojson_simplify, scale=coord_scale,
-        )
-        gj = polygons_to_geojson(
-            polys, class_name=args.geojson_class,
-            measurements={"tumor_fraction": float(mask.mean())},
-        )
+        if multiclass:
+            # one classified feature set per non-background class
+            features, n_polys = [], 0
+            for k in range(1, cfg.num_classes):
+                polys = mask_to_polygons(
+                    (mask == k).astype(np.uint8),
+                    min_area=args.geojson_min_area,
+                    simplify_tol=args.geojson_simplify, scale=coord_scale,
+                )
+                n_polys += len(polys)
+                gj_k = polygons_to_geojson(
+                    polys, class_name=f"{args.geojson_class}_{k}",
+                    measurements={"class_fraction": float((mask == k).mean())},
+                )
+                features.extend(gj_k["features"])
+            gj = {"type": "FeatureCollection", "features": features}
+        else:
+            polys = mask_to_polygons(
+                mask, min_area=args.geojson_min_area,
+                simplify_tol=args.geojson_simplify, scale=coord_scale,
+            )
+            n_polys = len(polys)
+            gj = polygons_to_geojson(
+                polys, class_name=args.geojson_class,
+                measurements={"tumor_fraction": float(mask.mean())},
+            )
         out_gj = write_geojson(
             os.path.join(args.save_path, "annotations.geojson"), gj
         )
-        print(f"geojson: {len(polys)} region(s) -> {out_gj}")
+        print(f"geojson: {n_polys} region(s) -> {out_gj}")
     if args.export_tiff:
         from pdac_pathological_image_segmentation_tpu.data.tiffwriter import (
             write_probability_tiff,
@@ -377,9 +415,10 @@ def main(argv=None) -> dict:
     if thumb is None:
         thumb = np.full((*[min(s, 2048) for s in mask.shape], 3), 255, np.uint8)
     out = overlay_figure(
-        thumb, mask, os.path.join(args.save_path, "overlay.png")
+        thumb, mask, os.path.join(args.save_path, "overlay.png"),
+        num_classes=cfg.num_classes,
     )
-    tumor_frac = float(mask.mean())
+    tumor_frac = float((mask > 0).mean() if multiclass else mask.mean())
     print(f"overlay written to {out} (tumor fraction {tumor_frac:.4f}, "
           f"{len(source)} tiles)")
     return {"overlay": out, "tumor_fraction": tumor_frac,

@@ -22,32 +22,51 @@ def _he_texture(rng: np.random.Generator, size: int) -> np.ndarray:
     return img
 
 
+# per-class tint targets: class k's blob is pulled toward _CLASS_TINTS[k-1]
+# so intensity correlates with the label (learnable by a small model)
+_CLASS_TINTS = np.array([
+    [120, 60, 160],   # hematoxylin purple (the binary "tumor" tint)
+    [60, 140, 90],    # green-ish
+    [170, 120, 40],   # ochre
+    [50, 90, 170],    # blue
+], np.float32)
+
+
 def generate_synthetic_patches(
     out_dir: str,
     n: int = 16,
     size: int = 512,
     seed: int = 0,
     tumor_fraction: float = 0.8,
+    num_classes: int = 1,
 ) -> Tuple[int, int]:
     """Write ``n`` image/mask PNG pairs into ``out_dir``.
 
     Each tumor patch gets a random filled circle labeled 1 and tinted purple
     (so intensity correlates with the label — learnable).  Returns
     (n_images, n_masks).
+
+    ``num_classes > 1``: each patch gets one blob per non-background class
+    (labels ``1..num_classes-1``), each with its own tint — the multi-class
+    fixture (labels may overwrite each other where blobs overlap; later
+    classes win, like QuPath's label-order overwrite).
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    n_blob_classes = max(1, num_classes - 1)
     for i in range(n):
         img = _he_texture(rng, size)
         mask = np.zeros((size, size), dtype=np.uint8)
-        if rng.random() < tumor_fraction:
+        for k in range(1, n_blob_classes + 1):
+            if num_classes == 1 and rng.random() >= tumor_fraction:
+                continue
             cy, cx = rng.integers(size // 4, 3 * size // 4, size=2)
             r = int(rng.integers(size // 8, size // 3))
             yy, xx = np.ogrid[:size, :size]
             blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-            mask[blob] = 1
-            # tumor region tinted toward hematoxylin purple
-            img[blob] = img[blob] * 0.5 + np.array([120, 60, 160], np.float32) * 0.5
+            mask[blob] = k
+            tint = _CLASS_TINTS[(k - 1) % len(_CLASS_TINTS)]
+            img[blob] = img[blob] * 0.5 + tint * 0.5
         img = np.clip(img, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(out_dir, f"patch_{i:04d}.png"))
         # mask stored as 0/1 labels like the QuPath LabeledImageServer export

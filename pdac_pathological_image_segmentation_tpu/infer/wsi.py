@@ -215,7 +215,11 @@ def _make_tta_infer(infer_step, tta: bool, with_variance: bool = False):
 
 class SlidingWindowInference:
     """Stream tiles → fused tile→mask step (+TTA) → on-device overlap-blend
-    canvas → (probability map, binary mask)."""
+    canvas → (probability map, hard mask).
+
+    Binary models stitch one canvas and threshold at 0.5; multi-class
+    models (``num_classes > 1``) stitch an ``(H, W, C)`` softmax canvas
+    and the mask is the per-pixel argmax class map (``ops/stitch.py``)."""
 
     def __init__(self, model, state, tile: int = 512, batch_size: int = 32,
                  tta: bool = False, blend: str = "hann",
@@ -347,6 +351,11 @@ class BandedSlidingWindow:
             make_infer_step,
         )
 
+        if model is not None and getattr(model, "num_classes", 1) > 1:
+            raise ValueError(
+                "BandedSlidingWindow stitches a single 2-D band canvas; "
+                "multi-class slides need SlidingWindowInference (per-class "
+                "canvases)")
         self.state = state
         self.tile = tile
         self.batch_size = batch_size
@@ -519,12 +528,15 @@ class BandedSlidingWindow:
 
 def overlay_figure(
     slide_thumb: np.ndarray,  # h,w,3 uint8 low-res rendering
-    mask: np.ndarray,  # H,W binary at full tile grid resolution
+    mask: np.ndarray,  # H,W binary (or argmax class labels) at grid res
     out_path: str,
     alpha: float = 0.4,
+    num_classes: int = 1,
 ) -> str:
     """Reference README's overlay visualization: binary prediction pasted
-    over a low-resolution slide rendering (``README.md:26-35``)."""
+    over a low-resolution slide rendering (``README.md:26-35``).  With
+    ``num_classes > 1`` the mask is an argmax class map and each
+    non-background class gets its own highlight color."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -539,8 +551,16 @@ def overlay_figure(
     fig, ax = plt.subplots(figsize=(10, 10 * th / max(tw, 1)))
     ax.imshow(slide_thumb)
     overlay = np.zeros((th, tw, 4), dtype=np.float32)
-    overlay[..., 0] = 1.0  # red tumor highlight
-    overlay[..., 3] = small * alpha
+    if num_classes > 1:
+        # distinct hue per class (class 0 = background stays transparent)
+        palette = plt.get_cmap("tab10")
+        for k in range(1, num_classes):
+            sel = small == k
+            overlay[sel, :3] = palette((k - 1) % 10)[:3]
+            overlay[sel, 3] = alpha
+    else:
+        overlay[..., 0] = 1.0  # red tumor highlight
+        overlay[..., 3] = small * alpha
     ax.imshow(overlay)
     ax.set_xticks([]), ax.set_yticks([])
     fig.tight_layout()

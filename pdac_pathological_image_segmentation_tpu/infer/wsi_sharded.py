@@ -134,6 +134,11 @@ class ShardedSlidingWindow:
             make_infer_step,
         )
 
+        if model is not None and getattr(model, "num_classes", 1) > 1:
+            raise ValueError(
+                "ShardedSlidingWindow stitches 2-D per-chip band canvases; "
+                "multi-class slides need SlidingWindowInference (per-class "
+                "canvases)")
         self.mesh = mesh
         self.n_devices = mesh.devices.size
         self.tile = tile

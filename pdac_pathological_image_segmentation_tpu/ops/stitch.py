@@ -46,7 +46,7 @@ def blend_window(tile: int, mode: str = "hann") -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("canvas_hw", "blend"),
                    donate_argnums=())
 def stitch_tiles(
-    probs: jax.Array,  # T,t,t float32 — predicted tile probabilities
+    probs: jax.Array,  # T,t,t (binary) or T,t,t,C (multi-class) float32
     coords: jax.Array,  # T,2 int32 — (y, x) top-left canvas coordinates
     canvas_hw: tuple,
     blend: str = "hann",
@@ -55,9 +55,13 @@ def stitch_tiles(
 
     Returns ``(accum, weight)`` so callers can stream tile chunks:
     run over several chunks with :func:`stitch_tiles_into`, divide once.
+    Channelled tiles (softmax probabilities, num_classes > 1) get an
+    ``(h, w, C)`` accumulation canvas; the weight canvas is always 2-D
+    (every class shares the blend window).
     """
     h, w = canvas_hw
-    accum = jnp.zeros((h, w), jnp.float32)
+    shape = (h, w) if probs.ndim == 3 else (h, w, probs.shape[-1])
+    accum = jnp.zeros(shape, jnp.float32)
     weight = jnp.zeros((h, w), jnp.float32)
     return stitch_tiles_into(accum, weight, probs, coords, blend=blend)
 
@@ -72,15 +76,21 @@ def stitch_tiles_into(
     blend: str = "hann",
 ) -> tuple[jax.Array, jax.Array]:
     """Accumulate a chunk of tiles into existing (donated) canvases."""
-    tile = probs.shape[-1]
+    tile = probs.shape[1]
     win = blend_window(tile, blend)
+    channelled = probs.ndim == 4
+    pwin = win[..., None] if channelled else win
 
     def body(carry, inp):
         acc, wgt = carry
         p, yx = inp
         y, x = yx[0], yx[1]
-        patch = jax.lax.dynamic_slice(acc, (y, x), (tile, tile))
-        acc = jax.lax.dynamic_update_slice(acc, patch + p * win, (y, x))
+        if channelled:
+            start, size = (y, x, 0), (tile, tile, acc.shape[-1])
+        else:
+            start, size = (y, x), (tile, tile)
+        patch = jax.lax.dynamic_slice(acc, start, size)
+        acc = jax.lax.dynamic_update_slice(acc, patch + p * pwin, start)
         wpatch = jax.lax.dynamic_slice(wgt, (y, x), (tile, tile))
         wgt = jax.lax.dynamic_update_slice(wgt, wpatch + win, (y, x))
         return (acc, wgt), None
@@ -92,7 +102,13 @@ def stitch_tiles_into(
 @jax.jit
 def finalize_canvas(accum: jax.Array, weight: jax.Array,
                     threshold: float = 0.5) -> tuple[jax.Array, jax.Array]:
-    """Blend-normalize and threshold: returns (probability map, binary mask).
-    Pixels never covered by a tile get probability 0."""
+    """Blend-normalize and decide: returns (probability map, hard mask).
+    Binary canvases threshold at ``threshold`` (the reference's 0.5,
+    ``test.py:143``); channelled canvases argmax over classes.  Pixels
+    never covered by a tile get probability 0 (class 0)."""
+    if accum.ndim == 3:  # (h, w, C) multi-class canvas, 2-D weight
+        w = jnp.maximum(weight, 1e-12)[..., None]
+        prob = jnp.where(weight[..., None] > 0, accum / w, 0.0)
+        return prob, jnp.argmax(prob, axis=-1).astype(jnp.uint8)
     prob = jnp.where(weight > 0, accum / jnp.maximum(weight, 1e-12), 0.0)
     return prob, (prob >= threshold).astype(jnp.uint8)

@@ -225,8 +225,11 @@ def _can_fold_stem(params) -> bool:
 
 
 def make_infer_step(model: nn.Module, img_size: int, stain: str = "none"):
-    """Returns jitted ``step(state, image_u8) → probs`` — the binary
-    tile→mask inference path (resize+normalize+forward+sigmoid fused).
+    """Returns jitted ``step(state, image_u8) → probs`` — the tile→mask
+    inference path (resize+normalize+forward+sigmoid fused).  Binary models
+    (``num_classes == 1``, the reference's case) emit ``(N, H, W)`` sigmoid
+    probabilities; multi-class models emit ``(N, H, W, C)`` softmax
+    probabilities for the WSI runners' per-class canvases.
 
     Fast path: **normalize fold** — the ImageNet scale folds into the stem
     conv weights (:func:`_fold_normalize_into_stem`) and the shift into the
@@ -270,6 +273,8 @@ def make_infer_step(model: nn.Module, img_size: int, stain: str = "none"):
         # logits arrive in the model's head dtype (float32 default;
         # bfloat16 when serving with ``head_dtype: bfloat16``) — keep the
         # sigmoid in that dtype so the bf16 path never writes f32
+        if getattr(model, "num_classes", 1) > 1:
+            return jax.nn.softmax(out, axis=-1)
         return jax.nn.sigmoid(out[..., 0])
 
     return step
