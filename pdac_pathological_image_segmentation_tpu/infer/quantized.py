@@ -34,7 +34,7 @@ to match ``model.apply`` exactly.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,18 +87,61 @@ def quantize_weights(kernel) -> tuple[jax.Array, jax.Array]:
     return kq, scale
 
 
+class _QT(NamedTuple):
+    """A producer-quantized int8 activation tensor + its per-tensor scale.
+
+    The ``act_storage="int8"`` inter-site representation: the producing
+    conv's epilogue quantizes (one fused elementwise chain writing int8),
+    consumers feed ``q`` straight into the int8 MXU contraction — the
+    tensor crosses HBM at 1 byte/element instead of 2 (the bf16-storage
+    mode's diagnosis at BASELINE.md "int8 sits on the bandwidth roofline:
+    its bytes/patch barely moved because activations stay bf16")."""
+
+    q: jax.Array      # int8
+    scale: jax.Array  # f32 scalar (amax/127 of this tensor, calibrated)
+
+
+def _deq(x):
+    """Dequantize a ``_QT`` (fuses into the consumer's elementwise chain);
+    pass plain arrays through."""
+    if isinstance(x, _QT):
+        return x.q.astype(jnp.float32) * x.scale
+    return x
+
+
+def _maxpool(y):
+    """3×3/2 stem maxpool.  Max commutes with the (monotonic) quantize, so
+    an int8 ``_QT`` pools directly in int8 — same result as pooling the
+    float tensor and quantizing after."""
+    window, strides = (1, 3, 3, 1), (1, 2, 2, 1)
+    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
+    if isinstance(y, _QT):
+        q = jax.lax.reduce_window(y.q, jnp.int8(-128), jax.lax.max,
+                                  window, strides, pads)
+        return _QT(q, y.scale)
+    return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                                 window, strides, pads)
+
+
 class _Ctx:
     """Conv dispatcher: float mode records per-site amax (calibration),
     int8 mode quantizes with the calibrated scales."""
 
-    def __init__(self, mode: str, act_scales=None, qweights=None):
+    def __init__(self, mode: str, act_scales=None, qweights=None,
+                 act_storage: str = "bf16"):
         assert mode in ("float", "int8")
+        assert act_storage in ("bf16", "int8")
         self.mode = mode
         # int8 mode stores inter-site activations in bf16 (the dequantized
         # values re-quantize at the next site anyway; halves the HBM
         # footprint so bs≥256 fits alongside the int8 weight copies).
         # Float mode keeps f32 for the exact-parity contract vs model.apply.
+        # act_storage="int8" goes further: activations whose next consumer
+        # is a quantized conv are stored as producer-quantized int8 _QTs
+        # (1 byte/element inter-site traffic; the consumer's calibrated
+        # scale applies because producer and consumer see the same tensor).
         self.act_dtype = jnp.float32 if mode == "float" else jnp.bfloat16
+        self.act_storage = act_storage if mode == "int8" else "bf16"
         self.act_scales = act_scales or {}
         self.qweights = qweights or {}
         self.stats: Dict[str, jax.Array] = {}
@@ -108,20 +151,42 @@ class _Ctx:
             self.stats[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
             return _conv(x, kernel.astype(x.dtype), stride, pad, dilation)
         kq, ks = self.qweights[name]
+        if isinstance(x, _QT):
+            # already int8 in HBM — straight into the int32 MXU contraction
+            padding = ((pad, pad), (pad, pad)) if pad else "VALID"
+            yi = jax.lax.conv_general_dilated(
+                x.q, kq, (stride, stride), padding,
+                rhs_dilation=(dilation, dilation), dimension_numbers=_DN,
+                preferred_element_type=jnp.int32)
+            return yi.astype(jnp.float32) * (x.scale * ks)
         return _conv_i8(x.astype(jnp.float32), self.act_scales[name],
                         kq, ks, stride, pad, dilation)
 
-    def act(self, y):
-        """Cast a post-affine activation to the inter-site storage dtype."""
+    def act(self, y, site: Optional[str] = None):
+        """Cast a post-affine activation to the inter-site storage dtype.
+
+        ``site`` names the quantized conv that consumes this tensor; under
+        ``act_storage="int8"`` the tensor is stored as a ``_QT`` quantized
+        with that site's calibrated scale (producer-side quantization —
+        identical scale value, the calibration amax is of this very
+        tensor).  ``site=None`` (float consumers: upconv einsums, heads,
+        image pools) keeps the bf16 path."""
+        if self.act_storage == "int8" and site is not None:
+            s = self.act_scales[site]
+            q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+            return _QT(q, jnp.float32(s))
         return y.astype(self.act_dtype)
 
 
-def _basic_block(ctx, p, s, x, name, stride=1, dilation=1):
+def _basic_block(ctx, p, s, x, name, stride=1, dilation=1, out_site=None):
+    """``out_site``: the quantized conv consuming this block's output —
+    int8-storage mode quantizes the output in the residual add's epilogue
+    (None → bf16, for float consumers like decoder upconvs)."""
     a1, b1 = _bn_affine(p["bn1"], s["bn1"])
     a2, b2 = _bn_affine(p["bn2"], s["bn2"])
     y = ctx.conv(f"{name}.conv1", x, p["conv1"]["kernel"], stride, dilation,
                  dilation)
-    y = ctx.act(jnp.maximum(y * a1 + b1, 0.0))
+    y = ctx.act(jnp.maximum(y * a1 + b1, 0.0), site=f"{name}.conv2")
     y = ctx.conv(f"{name}.conv2", y, p["conv2"]["kernel"], 1, dilation,
                  dilation)
     y = y * a2 + b2
@@ -131,8 +196,8 @@ def _basic_block(ctx, p, s, x, name, stride=1, dilation=1):
                      stride, 0)
         r = r * ad + bd
     else:
-        r = x
-    return ctx.act(jnp.maximum(y + r.astype(y.dtype), 0.0))
+        r = _deq(x)  # int8-storage residuals dequantize into the add
+    return ctx.act(jnp.maximum(y + r.astype(y.dtype), 0.0), site=out_site)
 
 
 def _concat_conv(ctx, p, name, a, b):
@@ -160,19 +225,28 @@ def _normalize(image_u8):
 
 
 def _encoder_forward(ctx: _Ctx, e, es, x, output_stride: int = 32,
-                     depth: int = 5):
+                     depth: int = 5, feat_sites=None):
     """Shared resnet18 encoder mirror (stem + maxpool + residual stages) →
     stage outputs ``[x2, …]``.  ``output_stride`` turns strides past it
     into dilations with smp's uniform-rate semantics (every conv in a
     dilated stage, block 0 included — ``models/resnet.py`` setup);
     ``depth`` is the smp encoder depth (5 → all four stages, 3 → through
-    layer2, PSPNet)."""
+    layer2, PSPNet).
+
+    Under ``act_storage="int8"``, every tensor whose next consumer is a
+    quantized conv stays int8 in HBM: the stem output (quantized, pooled
+    in int8 — max commutes with quantize), block internals, and
+    within-stage block outputs.  ``feat_sites`` (per stage, or None)
+    names the quantized conv consuming each STAGE output — the
+    architecture-specific part (ResUNet's skips feed quantized
+    ``ConcatConv``s; FPN/DeepLab/PSPNet do float math on theirs, so they
+    leave it unset and stage outputs stay bf16)."""
     a0, b0 = _bn_affine(e["bn1"], es["bn1"])
     y = ctx.conv("stem", x, e["conv1"]["kernel"], 2, 3)
-    y = ctx.act(jnp.maximum(y * a0 + b0, 0.0))
-    y = jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # the stem output's consumer (through the int8-transparent maxpool) is
+    # layer1_0.conv1: same tensor amax — the maxpool keeps the global max
+    y = ctx.act(jnp.maximum(y * a0 + b0, 0.0), site="layer1_0.conv1")
+    y = _maxpool(y)
 
     feats = []
     current_stride, dilation = 4, 1
@@ -186,8 +260,14 @@ def _encoder_forward(ctx: _Ctx, e, es, x, output_stride: int = 32,
                 current_stride *= 2
         for bi in (0, 1):
             name = f"layer{li + 1}_{bi}"
+            if bi == 0:
+                # block 0's output feeds block 1's conv1 (same stage)
+                out_site = f"layer{li + 1}_1.conv1"
+            else:
+                out_site = feat_sites[li] if feat_sites else None
             y = _basic_block(ctx, e[name], es[name], y, name,
-                             stride=s if bi == 0 else 1, dilation=dilation)
+                             stride=s if bi == 0 else 1, dilation=dilation,
+                             out_site=out_site)
         feats.append(y)
     return feats
 
@@ -198,8 +278,14 @@ def resunet_forward(ctx: _Ctx, params, batch_stats, image_u8,
     ``ResUNet.__call__(train=False)`` (reference ``models/resunet.py:23-57``:
     stem skip unused, head at 1/4 res, single 4× bilinear)."""
     x = _normalize(image_u8)
+    # stage outputs double as decoder skips into quantized ConcatConvs, so
+    # int8-storage mode can keep x2..x4 int8 end-to-end (each skip's scale
+    # equals the next stage's conv1 scale — amax of the same tensor); x5
+    # feeds the float upconv einsum and stays bf16
     x2, x3, x4, x5 = _encoder_forward(
-        ctx, params["encoder"], batch_stats["encoder"], x)
+        ctx, params["encoder"], batch_stats["encoder"], x,
+        feat_sites=("layer2_0.conv1", "layer3_0.conv1", "layer4_0.conv1",
+                    None))
 
     y = _upconv(params["upconv1"], x5)
     y = jnp.maximum(_concat_conv(ctx, params["conv1"], "dec1", y, x4), 0.0)
@@ -483,13 +569,21 @@ QUANTIZERS = {"unet": quantize_resunet, "fpn": quantize_fpn,
 
 
 def make_quantized_infer_step(params, batch_stats, bundle,
-                              output_size: int, forward=resunet_forward):
-    """jitted ``step(image_u8) → probs`` on the int8 path."""
+                              output_size: int, forward=resunet_forward,
+                              act_storage: str = "bf16"):
+    """jitted ``step(image_u8) → probs`` on the int8 path.
+
+    ``act_storage="int8"`` stores inter-site activations as
+    producer-quantized int8 (``_QT``) instead of bf16 — half the
+    activation HBM traffic of the bandwidth-bound int8 program (the
+    BASELINE.md roofline diagnosis); accuracy is gated by the same
+    mask-agreement/Dice-delta tests as the bf16-storage mode."""
     act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
 
     @jax.jit
     def step(image):
-        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])
+        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"],
+                   act_storage=act_storage)
         return forward(ctx, params, batch_stats, image, output_size)
 
     return step
@@ -574,7 +668,8 @@ def quantize_from_config(cfg, params, batch_stats, calib_batches):
 
 
 def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,
-                            forward=resunet_forward):
+                            forward=resunet_forward,
+                            act_storage: str = "bf16"):
     """Jitted ``fn(state, images_u8) → probs`` with the WSI runners'
     ``infer_step`` signature (``infer/wsi.py`` / ``infer/wsi_sharded.py``).
     The jit matters for the plain ``SlidingWindowInference`` path, which
@@ -586,7 +681,8 @@ def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,
     @jax.jit
     def fn(state, images):
         del state
-        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"])
+        ctx = _Ctx("int8", act_scales=act, qweights=bundle["qweights"],
+                   act_storage=act_storage)
         return forward(ctx, params, batch_stats, images, output_size)
 
     return fn

@@ -172,3 +172,44 @@ def test_quantize_from_config_applies_stain(setup):
     plain = make_float_infer_step(state.params, state.batch_stats,
                                   SIZE)(image)
     assert float(jnp.max(jnp.abs(got - plain))) > 1e-6
+
+
+def test_int8_activation_storage_masks_agree(setup):
+    """act_storage="int8" (producer-quantized inter-site activations, the
+    bandwidth lever from BASELINE.md's int8 roofline diagnosis) must hold
+    the same accuracy gates as the bf16-storage mode: mask agreement
+    >98% vs the float path, probability MAE bounded, and near-identity
+    to the bf16-storage int8 path (the only numeric difference is WHERE
+    the quantize rounds — producer f32 epilogue vs consumer bf16 read —
+    plus int8 residual adds)."""
+    model, state, image = setup
+    scales = calibrate(state.params, state.batch_stats, [image], SIZE)
+    bundle = quantize_resunet(state.params, state.batch_stats, scales)
+    fprob = np.asarray(
+        make_float_infer_step(state.params, state.batch_stats, SIZE)(image))
+    q8 = make_quantized_infer_step(state.params, state.batch_stats,
+                                   bundle, SIZE, act_storage="int8")
+    q8prob = np.asarray(q8(image))
+    assert np.mean(np.abs(q8prob - fprob)) < 0.05
+    agree = np.mean((q8prob >= 0.5) == (fprob >= 0.5))
+    assert agree > 0.98, f"mask agreement {agree:.4f}"
+    qb = make_quantized_infer_step(state.params, state.batch_stats,
+                                   bundle, SIZE, act_storage="bf16")
+    qbprob = np.asarray(qb(image))
+    agree_q = np.mean((q8prob >= 0.5) == (qbprob >= 0.5))
+    assert agree_q > 0.99, f"vs bf16-storage agreement {agree_q:.4f}"
+
+
+def test_int8_storage_skip_scale_invariant(setup):
+    """The producer-side storage scale of a stage output equals the
+    decoder skip consumer's calibrated scale — both record amax of the
+    SAME tensor (this is what lets one int8 tensor serve both the next
+    stage and the ConcatConv skip)."""
+    model, state, image = setup
+    scales = calibrate(state.params, state.batch_stats, [image], SIZE)
+    # x2 (layer1 output) feeds layer2_0.conv1 AND dec3.b; x3 → dec2.b; etc.
+    assert scales["layer2_0.conv1"] == pytest.approx(scales["dec3.b"])
+    assert scales["layer3_0.conv1"] == pytest.approx(scales["dec2.b"])
+    assert scales["layer4_0.conv1"] == pytest.approx(scales["dec1.b"])
+    # layer2_0 has a downsample: its conv1 and ds consume the same tensor
+    assert scales["layer2_0.conv1"] == pytest.approx(scales["layer2_0.ds"])
