@@ -212,10 +212,13 @@ def bench_train() -> None:
 def bench_int8(model_name: str = "unet") -> None:
     """Opt-in int8 quantized serving throughput (infer/quantized.py):
     post-training per-channel weight + calibrated per-tensor activation
-    quantization, int32 MXU accumulation, for any of the four reference
-    architectures (``unet`` / ``fpn`` / ``deeplabv3+`` / ``pspnet``).  Reported NEXT TO the bf16
-    headline (vs_baseline refers to the same 5,000 north star; mask
-    agreement/Dice delta pinned by tests/test_quantized.py)."""
+    quantization, int32 MXU accumulation, int8 producer-quantized
+    inter-site activation storage (round-5 default — 6,553 vs 5,947
+    patches/s at bs=256; ``scripts/trial_int8_act.py``), for any of the
+    four reference architectures (``unet`` / ``fpn`` / ``deeplabv3+`` /
+    ``pspnet``).  Reported NEXT TO the bf16 headline (vs_baseline refers
+    to the same 5,000 north star; mask agreement/Dice delta pinned by
+    tests/test_quantized.py)."""
     import numpy as np
 
     from pdac_pathological_image_segmentation_tpu.config import Config
@@ -238,7 +241,10 @@ def bench_int8(model_name: str = "unet") -> None:
     state = jax.device_put(
         create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed)))
     rng = np.random.default_rng(0)
-    batch = 256  # int8 weights + bf16 activations: bs=256 fits 16 GB HBM
+    # int8 weights + int8 inter-site activations: the freed HBM admits
+    # bs=384, the measured optimum (256→6,553 · 384→6,750 · 512@d8→6,622;
+    # 512@d16 and 256@d32 OOM on in-flight outputs — trial_int8_act.py)
+    batch = 384
     x = jax.device_put(
         rng.integers(0, 256, (batch, 512, 512, 3), dtype=np.uint8))
     calib = rng.integers(0, 256, (32, 512, 512, 3), dtype=np.uint8)
@@ -267,7 +273,7 @@ def bench_int8(model_name: str = "unet") -> None:
     pps = n_iters * batch / dt
     print(json.dumps({
         "metric": f"512x512 patches/sec/chip tile->mask ({model_name} int8 "
-                  "quantized serving, bs=256)",
+                  "quantized serving, int8 act storage, bs=384)",
         "value": round(pps, 1),
         "unit": "patches/s",
         "vs_baseline": round(pps / TARGET, 3),
@@ -395,15 +401,21 @@ def bench_serve(concurrency: int = 32) -> None:
 
 
 def bench_wsi(size: int = 8192, stride: int | None = None,
-              tissue_threshold: float = 0.0, tile_io: bool = False) -> None:
+              tissue_threshold: float = 0.0, tile_io: bool = False,
+              device_src: bool = False) -> None:
     """Full-slide sliding-window inference wall-clock (BASELINE config #4):
     procedurally streamed synthetic slide (never materialized on host),
     hann blend, O(band) device canvas, on-device stitching.  ``--size
     40960`` runs a real 40k×40k gigapixel pass; pair with
     ``--tissue_threshold 0.05`` for the realistic background-skipping
-    pipeline."""
+    pipeline.
+
+    ``--device_src``: generate band pixels ON DEVICE (zero H2D) — pins
+    the chip-bound wall-clock this harness's ~20 MB/s tunnel otherwise
+    hides (the production-PCIe number, measured instead of projected)."""
     from pdac_pathological_image_segmentation_tpu.config import Config
     from pdac_pathological_image_segmentation_tpu.data.synthetic import (
+        DeviceSlideSource,
         SyntheticSlideSource,
     )
     from pdac_pathological_image_segmentation_tpu.infer.wsi import (
@@ -425,7 +437,8 @@ def bench_wsi(size: int = 8192, stride: int | None = None,
     cfg = Config(model="unet", img_size=512, compute_dtype="bfloat16")
     model = build_model(cfg)
     state = jax.device_put(create_train_state(cfg, model, jax.random.PRNGKey(0)))
-    source = SyntheticSlideSource(size=size, tile=512, stride=stride, seed=0)
+    src_cls = DeviceSlideSource if device_src else SyntheticSlideSource
+    source = src_cls(size=size, tile=512, stride=stride, seed=0)
     n_total = len(source)
     if tissue_threshold > 0.0:
         keep = [i for i in range(n_total)
@@ -438,13 +451,14 @@ def bench_wsi(size: int = 8192, stride: int | None = None,
                                  band_h=4096, blend="hann", num_workers=8,
                                  band_input=False if tile_io else None)
     # warm run (small) compiles infer + stitch + roll for these shapes
-    warm = SyntheticSlideSource(size=4096 + 512, tile=512, stride=stride)
+    warm = src_cls(size=4096 + 512, tile=512, stride=stride)
     runner.run(warm)
     t0 = time.perf_counter()
     prob, mask = runner.run(source)
     dt = time.perf_counter() - t0
     mp = size * size / 1e6
-    io_mode = "per-window upload" if tile_io else "band-input upload"
+    io_mode = ("device-resident source (zero H2D)" if device_src
+               else "per-window upload" if tile_io else "band-input upload")
     print(json.dumps({
         "metric": f"{size}x{size} WSI sliding-window wall-clock (streamed "
                   f"source, banded canvas, {io_mode}, hann blend, "
@@ -474,6 +488,9 @@ if __name__ == "__main__":
     parser.add_argument("--tile_io", action="store_true",
                         help="--mode wsi: upload each overlapping window "
                         "separately (pre-band-input behavior) for A/B")
+    parser.add_argument("--device_src", action="store_true",
+                        help="--mode wsi: procedural bands generated on "
+                        "device (zero H2D) — the chip-bound wall-clock")
     args = parser.parse_args()
     if args.mode == "infer":
         main()
@@ -486,4 +503,5 @@ if __name__ == "__main__":
     elif args.mode == "serve":
         bench_serve(args.concurrency)
     else:
-        bench_wsi(args.size, tile_io=args.tile_io)
+        bench_wsi(args.size, tile_io=args.tile_io,
+                  device_src=args.device_src)

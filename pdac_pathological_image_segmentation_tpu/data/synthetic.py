@@ -168,3 +168,76 @@ class SyntheticSlideSource:
     def get(self, i: int):
         y, x = self.coords[i]
         return self.read_region(y, x, self.tile, self.tile), (y, x)
+
+
+class DeviceSlideSource:
+    """Procedural slide whose bands are generated ON DEVICE — zero H2D.
+
+    The harness chip sits behind a ~20 MB/s network tunnel, so any
+    host-fed WSI bench measures the tunnel, not the chip (the 40k×40k
+    run: 885 s, ≈19.9 GB of tile uploads ÷ ~22 MB/s — BASELINE.md round
+    3).  This source implements the ``read_region`` band protocol of
+    :class:`~..infer.wsi.BandedSlidingWindow`'s band-input mode but
+    returns a device array computed by a tiny jitted elementwise program
+    (a deterministic function of global pixel coordinates, so
+    overlapping band reads agree exactly); ``jax.device_put`` of an
+    on-device array is a no-op, so the runner's upload step vanishes and
+    the measured wall-clock is the chip-bound infer+stitch pipeline —
+    the production-host (PCIe) number, measured instead of projected.
+    """
+
+    def __init__(self, size: int, tile: int = 512,
+                 stride: int | None = None, seed: int = 0) -> None:
+        self.size = size
+        self.tile = tile
+        self.stride = stride or tile
+        self.seed = seed
+        ys = list(range(0, max(size - tile, 0) + 1, self.stride))
+        if ys and ys[-1] != size - tile and size > tile:
+            ys.append(size - tile)
+        self.coords = [(y, x) for y in ys for x in ys]
+        self.canvas_hw = (size, size)
+        self._region_cache: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    def _region_fn(self, h: int, w: int):
+        fn = self._region_cache.get((h, w))
+        if fn is not None:
+            return fn
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        seed = self.seed
+
+        @functools.partial(jax.jit, static_argnums=())
+        def region(y0, x0):
+            yy = (jnp.arange(h, dtype=jnp.float32) + y0)[:, None, None]
+            xx = (jnp.arange(w, dtype=jnp.float32) + x0)[None, :, None]
+            phase = jnp.asarray([0.0, 2.1, 4.2], jnp.float32) + seed
+            base = jnp.asarray([225.0, 170.0, 195.0], jnp.float32)
+            # smooth H&E-ish field + a high-frequency ripple, elementwise
+            # in global coordinates (band overlap regions agree exactly)
+            v = (base
+                 + 18.0 * jnp.sin(yy / 97.0 + phase) * jnp.cos(xx / 89.0)
+                 - 60.0 * jnp.maximum(
+                     jnp.sin(yy / 253.0 + phase) * jnp.sin(xx / 241.0) - 0.6,
+                     0.0) * 2.5)
+            return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+        self._region_cache[(h, w)] = region
+        return region
+
+    def read_region(self, y: int, x: int, h: int, w: int):
+        """(h, w, 3) uint8 DEVICE array at pixel (y, x)."""
+        return self._region_fn(h, w)(y, x)
+
+    def get(self, i: int):
+        import numpy as np
+
+        y, x = self.coords[i]
+        return (np.asarray(self.read_region(y, x, self.tile, self.tile)),
+                (y, x))

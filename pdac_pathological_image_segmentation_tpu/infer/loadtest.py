@@ -96,9 +96,14 @@ def fetch_stats(host: str, port: int) -> dict:
 
 def run_loadtest(host: str, port: int, *, tile: int, concurrency: int,
                  n_requests: int, seed: int = 0,
-                 warmup_requests: Optional[int] = None) -> dict:
+                 warmup_requests: Optional[int] = None,
+                 accept: str = "application/octet-stream") -> dict:
     """Fire ``n_requests`` total across ``concurrency`` closed-loop
-    clients at a running server; return latency/throughput/stats."""
+    clients at a running server; return latency/throughput/stats.
+
+    ``accept``: response representation — the default raw float32, or
+    ``"application/octet-stream;repr=u8"`` for the 4x-smaller uint8
+    probabilities (the response-bytes lever on thin hosts)."""
     rng = np.random.default_rng(seed)
     # a small pool of distinct tiles so responses aren't byte-identical
     tiles = rng.integers(0, 256, (4, tile, tile, 3), dtype=np.uint8)
@@ -107,7 +112,7 @@ def run_loadtest(host: str, port: int, *, tile: int, concurrency: int,
               if warmup_requests is None else warmup_requests)
     if warmup:
         evt = threading.Event()
-        w = _Client("127.0.0.1", port, tiles, warmup, evt)
+        w = _Client("127.0.0.1", port, tiles, warmup, evt, accept=accept)
         w.start()
         evt.set()
         w.join()
@@ -115,7 +120,7 @@ def run_loadtest(host: str, port: int, *, tile: int, concurrency: int,
     per_client = max(1, n_requests // concurrency)
     start_evt = threading.Event()
     clients = [
-        _Client(host, port, tiles, per_client, start_evt)
+        _Client(host, port, tiles, per_client, start_evt, accept=accept)
         for _ in range(concurrency)
     ]
     for c in clients:
@@ -153,7 +158,8 @@ def run_loadtest(host: str, port: int, *, tile: int, concurrency: int,
 def serve_and_loadtest(artifact, *, buckets: Sequence[int] = (1, 8, 32),
                        max_wait_ms: float = 5.0, concurrency: int = 32,
                        n_requests: int = 640, aot: bool = True,
-                       seed: int = 0) -> dict:
+                       seed: int = 0,
+                       accept: str = "application/octet-stream") -> dict:
     """Start an in-process server on an ephemeral loopback port, run one
     load test against it, shut it down, and return the merged result."""
     from pdac_pathological_image_segmentation_tpu.infer.server import (
@@ -170,11 +176,13 @@ def serve_and_loadtest(artifact, *, buckets: Sequence[int] = (1, 8, 32),
     try:
         result = run_loadtest(
             "127.0.0.1", port, tile=artifact.tile,
-            concurrency=concurrency, n_requests=n_requests, seed=seed)
+            concurrency=concurrency, n_requests=n_requests, seed=seed,
+            accept=accept)
     finally:
         server.shutdown()
         srv_thread.join(timeout=10)
         server.server_close()
     result["buckets"] = list(buckets)
     result["max_wait_ms"] = max_wait_ms
+    result["accept"] = accept
     return result

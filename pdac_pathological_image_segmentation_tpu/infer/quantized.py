@@ -570,14 +570,15 @@ QUANTIZERS = {"unet": quantize_resunet, "fpn": quantize_fpn,
 
 def make_quantized_infer_step(params, batch_stats, bundle,
                               output_size: int, forward=resunet_forward,
-                              act_storage: str = "bf16"):
+                              act_storage: str = "int8"):
     """jitted ``step(image_u8) → probs`` on the int8 path.
 
-    ``act_storage="int8"`` stores inter-site activations as
-    producer-quantized int8 (``_QT``) instead of bf16 — half the
-    activation HBM traffic of the bandwidth-bound int8 program (the
-    BASELINE.md roofline diagnosis); accuracy is gated by the same
-    mask-agreement/Dice-delta tests as the bf16-storage mode."""
+    ``act_storage="int8"`` (default — keep-whichever-wins: 6,553 vs
+    5,947 patches/s at bs=256 on v5e, BASELINE.md round 5) stores
+    inter-site activations as producer-quantized int8 (``_QT``) instead
+    of bf16 — half the activation HBM traffic of the bandwidth-bound
+    int8 program (the round-4 roofline diagnosis); accuracy is gated by
+    the same mask-agreement/Dice-delta tests as the bf16-storage mode."""
     act = {k: jnp.float32(v) for k, v in bundle["act_scales"].items()}
 
     @jax.jit
@@ -669,7 +670,7 @@ def quantize_from_config(cfg, params, batch_stats, calib_batches):
 
 def make_quantized_infer_fn(params, batch_stats, bundle, output_size: int,
                             forward=resunet_forward,
-                            act_storage: str = "bf16"):
+                            act_storage: str = "int8"):
     """Jitted ``fn(state, images_u8) → probs`` with the WSI runners'
     ``infer_step`` signature (``infer/wsi.py`` / ``infer/wsi_sharded.py``).
     The jit matters for the plain ``SlidingWindowInference`` path, which

@@ -22,9 +22,10 @@ TPU-first execution design:
 Endpoints (see :class:`_Handler`): ``GET /healthz``, ``GET /v1/metadata``,
 ``GET /v1/stats``, ``POST /v1/segment`` (PNG/JPEG body or raw uint8 with
 ``X-Image-Shape``; response is an 8-bit probability PNG, raw float32
-under ``Accept: application/octet-stream``, or QuPath-importable
-annotation polygons under ``Accept: application/geo+json`` — always with
-``X-Tumor-Fraction``).
+under ``Accept: application/octet-stream`` (or 4x-smaller raw uint8
+with ``;repr=u8`` — flagged back via ``X-Prob-Repr``), or
+QuPath-importable annotation polygons under
+``Accept: application/geo+json`` — always with ``X-Tumor-Fraction``).
 """
 
 from __future__ import annotations
@@ -335,7 +336,16 @@ class _Handler(BaseHTTPRequestHandler):
         tumor_fraction = float((probs >= threshold).mean())
         accept = (self.headers.get("Accept") or "").lower()
         if "application/octet-stream" in accept:
-            payload = probs.astype(np.float32).tobytes()
+            if "repr=u8" in accept:
+                # compact raw response: probabilities quantized to uint8
+                # (1/255 steps) — 4x smaller than float32, which matters
+                # because the daemon's ceiling on thin hosts is response
+                # bytes through the HTTP stack, not the chip (BASELINE.md
+                # round-5 serving table); X-Prob-Repr tells the client
+                payload = np.round(probs * 255.0).clip(0, 255).astype(
+                    np.uint8).tobytes()
+            else:
+                payload = probs.astype(np.float32).tobytes()
             ctype = "application/octet-stream"
         elif "geo+json" in accept:
             # QuPath-importable annotation polygons in tile-local pixel
@@ -362,6 +372,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(payload)))
+        if ctype == "application/octet-stream":
+            self.send_header("X-Prob-Repr",
+                             "u8" if "repr=u8" in accept else "f32")
         self.send_header("X-Prob-Shape",
                          ",".join(str(s) for s in probs.shape))
         self.send_header("X-Tumor-Fraction", f"{tumor_fraction:.6f}")

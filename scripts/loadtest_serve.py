@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--buckets", default=None,
                    help="comma-separated buckets for the single cell")
     p.add_argument("--max_wait_ms", type=float, default=None)
+    p.add_argument("--u8", action="store_true",
+                   help="request uint8 probability responses "
+                   "(Accept: application/octet-stream;repr=u8 — 4x "
+                   "smaller; the response-bytes lever on thin hosts)")
     args = p.parse_args()
 
     import jax
@@ -91,10 +95,12 @@ def main() -> None:
             (32, (1, 8, 32), 15.0),
         ]
 
+    accept = ("application/octet-stream;repr=u8" if args.u8
+              else "application/octet-stream")
     for conc, buckets, wait in cells:
         res = serve_and_loadtest(
             artifact, buckets=buckets, max_wait_ms=wait,
-            concurrency=conc, n_requests=args.requests)
+            concurrency=conc, n_requests=args.requests, accept=accept)
         print(json.dumps(res), flush=True)
 
 

@@ -75,8 +75,12 @@ def main() -> None:
     results = {"model": args.model}
     batches = {}
     for cell in args.cells.split(","):
-        storage, bs = cell.rsplit("_", 1)
-        bs = int(bs)
+        # cell syntax: <storage>_<bs>[_d<depth>], e.g. int8_512_d8
+        parts = cell.split("_")
+        depth = 16
+        if parts[-1].startswith("d"):
+            depth = int(parts.pop()[1:])
+        storage, bs = "_".join(parts[:-1]), int(parts[-1])
         if bs not in batches:
             batches[bs] = jax.device_put(
                 rng.integers(0, 256, (bs, 512, 512, 3), dtype=np.uint8))
@@ -87,7 +91,7 @@ def main() -> None:
                     state.params, state.batch_stats, bundle, 512,
                     forward=forward, act_storage=storage),
                 x, options=INT8_COMPILER_OPTIONS)
-            results[cell] = bench_step(step, x, bs)
+            results[cell] = bench_step(step, x, bs, depth=depth)
         except Exception as e:  # OOM cells report instead of aborting
             results[cell] = f"failed: {type(e).__name__}: {str(e)[:200]}"
         print(cell, results[cell], flush=True)

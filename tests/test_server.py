@@ -246,3 +246,31 @@ def test_geojson_response(server, artifact):
         meas = fc["features"][0]["properties"]["measurements"]
         assert meas["tumor_fraction"] == pytest.approx(
             float(resp.headers["X-Tumor-Fraction"]), abs=1e-5)
+
+
+def test_u8_response_repr(server, artifact):
+    """Accept: application/octet-stream;repr=u8 returns probabilities
+    quantized to uint8 (4x smaller response — the thin-host serving
+    lever), flagged via X-Prob-Repr."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (TILE, TILE, 3), dtype=np.uint8)
+    resp = _post(server, img.tobytes(), {
+        "Content-Type": "application/octet-stream",
+        "X-Image-Shape": f"{TILE},{TILE},3",
+        "Accept": "application/octet-stream;repr=u8",
+    })
+    assert resp.headers["X-Prob-Repr"] == "u8"
+    shape = tuple(int(v) for v in resp.headers["X-Prob-Shape"].split(","))
+    body = resp.read()
+    assert len(body) == shape[0] * shape[1]  # 1 byte/px
+    u8 = np.frombuffer(body, np.uint8).reshape(shape)
+    direct = np.asarray(artifact(img[None]), np.float32)[0]
+    np.testing.assert_array_equal(
+        u8, np.round(direct * 255.0).clip(0, 255).astype(np.uint8))
+    # the float32 default still reports its repr
+    resp32 = _post(server, img.tobytes(), {
+        "Content-Type": "application/octet-stream",
+        "X-Image-Shape": f"{TILE},{TILE},3",
+        "Accept": "application/octet-stream",
+    })
+    assert resp32.headers["X-Prob-Repr"] == "f32"

@@ -472,3 +472,53 @@ def test_banded_uncertainty_matches_plain(model_and_state):
         np.testing.assert_array_equal(mask1, mask0)
         np.testing.assert_allclose(unc1, unc0, atol=1e-5, rtol=0,
                                    err_msg=f"band_input={band_input}")
+
+
+def test_device_slide_source_consistency():
+    """DeviceSlideSource (the zero-H2D chip-bound bench source) is a pure
+    function of global pixel coordinates: overlapping band reads agree
+    exactly, and the banded runner consumes it through the band-input
+    path."""
+    import numpy as np
+
+    from pdac_pathological_image_segmentation_tpu.data.synthetic import (
+        DeviceSlideSource,
+    )
+
+    src = DeviceSlideSource(size=256, tile=64, stride=32, seed=3)
+    a = np.asarray(src.read_region(0, 0, 128, 256))
+    b = np.asarray(src.read_region(64, 0, 128, 256))
+    np.testing.assert_array_equal(a[64:], b[:64])
+    t, (y, x) = src.get(5)
+    np.testing.assert_array_equal(
+        t, np.asarray(src.read_region(y, x, 64, 64)))
+    assert t.dtype == np.uint8 and 0 < t.mean() < 255
+
+
+def test_banded_runner_on_device_source():
+    import jax
+    import numpy as np
+
+    from pdac_pathological_image_segmentation_tpu.config import Config
+    from pdac_pathological_image_segmentation_tpu.data.synthetic import (
+        DeviceSlideSource,
+    )
+    from pdac_pathological_image_segmentation_tpu.infer.wsi import (
+        BandedSlidingWindow,
+    )
+    from pdac_pathological_image_segmentation_tpu.models.registry import (
+        build_model,
+    )
+    from pdac_pathological_image_segmentation_tpu.train.state import (
+        create_train_state,
+    )
+
+    cfg = Config(model="unet", img_size=64, compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    src = DeviceSlideSource(size=192, tile=64, stride=64, seed=1)
+    runner = BandedSlidingWindow(model, state, tile=64, batch_size=4,
+                                 band_h=64, num_workers=1)
+    prob, mask = runner.run(src)
+    assert prob.shape == (192, 192) and mask.shape == (192, 192)
+    assert np.all(np.isfinite(prob.astype(np.float32)))
