@@ -101,6 +101,11 @@ def main() -> None:
 
     # --- h2d (one batch) ----------------------------------------------------
     hb = next(iter(loader._host_batches(0)))
+    # warm pass: the relay compiles the element-fetch program on first
+    # use (~minutes cold) — keep that compile out of the transfer number
+    warm = jax.device_put(hb.image)
+    _ = int(np.asarray(warm[0, 0, 0, 0]))
+    del warm
     t0 = time.perf_counter()
     dev = jax.device_put(hb.image)
     _ = int(np.asarray(dev[0, 0, 0, 0]))  # force completion (relay)
