@@ -117,19 +117,24 @@ def main() -> None:
     if "mu8" in levers:
         # Adam with bf16 first moment (nu has no dtype knob in optax;
         # mu alone halves one of the two moment tensors)
-        tx8 = optax.inject_hyperparams(optax.adam)(
+        tx8 = optax.inject_hyperparams(optax.adam,
+                                       static_args=("mu_dtype",))(
             learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
             mu_dtype=jnp.bfloat16)
-        s8 = TrainState(step=jnp.zeros((), jnp.int32), params=state0.params,
-                        batch_stats=state0.batch_stats,
-                        opt_state=tx8.init(state0.params), tx=tx8)
-        s8 = jax.device_put(s8)
+        # fresh device copies — donating buffers shared with state0 would
+        # delete state0's arrays out from under later levers
+        def mk8():
+            f0 = fresh()
+            return TrainState(step=jnp.zeros((), jnp.int32),
+                              params=f0.params, batch_stats=f0.batch_stats,
+                              opt_state=tx8.init(f0.params), tx=tx8)
+
         step = compile_serving(make_train_step(model, 512, donate=True),
-                               s8, key, x, m,
+                               mk8(), key, x, m,
                                options=TRAIN_COMPILER_OPTIONS)
-        results["mu8"] = measure(step, s8, key, x, m, args.seconds, b)
+        results["mu8"] = measure(step, mk8(), key, x, m, args.seconds, b)
         print("mu8", results["mu8"], flush=True)
-        del step, s8
+        del step
 
     if "remat256" in levers:
         step = compile_serving(

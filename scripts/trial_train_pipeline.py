@@ -100,18 +100,26 @@ def main() -> None:
     def run(label, step_fn, warm_fn, fetch, depth: int = 4):
         """``depth`` = steps between completion fetches; the split/
         pipelined schedules keep an extra augmented batch (~670 MB at
-        bs=256) alive per in-flight step, so they fetch every 2."""
-        warm_fn()
-        n = 0
-        t0 = time.perf_counter()
-        while time.perf_counter() - t0 < args.seconds:
-            step_fn()
-            if (n + 1) % depth == 0:
-                fetch()
-            n += 1
-        fetch()
-        dt = time.perf_counter() - t0
-        results[label] = round(n * b / dt, 1)
+        bs=256) alive per in-flight step, so they fetch every 2.
+
+        An OOM (ResourceExhausted) is a RESULT here, not a crash — the
+        schedule's extra live buffers not fitting is exactly what the
+        A/B is measuring; record it and let the next schedule run."""
+        try:
+            warm_fn()
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < args.seconds:
+                step_fn()
+                if (n + 1) % depth == 0:
+                    fetch()
+                n += 1
+            fetch()
+            dt = time.perf_counter() - t0
+            results[label] = round(n * b / dt, 1)
+        except jax.errors.JaxRuntimeError as e:
+            results[label] = ("OOM" if "RESOURCE_EXHAUSTED" in str(e)
+                              else f"error: {str(e)[:120]}")
         print(label, results[label], "patches/s", flush=True)
 
     schedules = args.schedules.split(",")
