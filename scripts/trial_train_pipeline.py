@@ -107,6 +107,11 @@ def main() -> None:
         A/B is measuring; record it and let the next schedule run."""
         try:
             warm_fn()
+            # fetch BEFORE the timer: the relay compiles its scalar-fetch
+            # program on first use (~minutes cold) — without this, the
+            # first schedule's timed window absorbs that compile (the
+            # "fused 0.5 patches/s" artifact)
+            fetch()
             n = 0
             t0 = time.perf_counter()
             while time.perf_counter() - t0 < args.seconds:
